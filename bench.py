@@ -1,0 +1,90 @@
+"""Benchmark: volpathsimple fwd+bwd throughput at 64 SPP on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "Mrays/s/chip fwd+bwd @64spp", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N}
+
+Baseline normalization: the repo's north-star target is >= 1 Grays/s
+aggregate on a v5e-16 slice (BASELINE.md), i.e. 62.5 Mrays/s per chip;
+``vs_baseline`` = value / 62.5.
+
+"Rays" counts camera rays launched per optimization step: batch * spp_primal
+for the forward pass plus 2 * batch * spp_grad for the backward (primal
+replay + adjoint), matching the reference's accounting of its production
+configuration (reproduce.py:45-59).
+"""
+import json
+import os
+import sys
+import time
+
+# Use whatever platform the driver provides (axon TPU in production).
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from uivr_tpu.config import smoke_scene
+    from uivr_tpu.integrators import VolpathConfig
+    from uivr_tpu.opt import adam_init, adam_step, enforce_valid_params, losses
+    from uivr_tpu.render import RenderSettings, make_render, sample_batch_pixels
+
+    spp_grad = 4
+    primal_factor = 16
+    spp = spp_grad * primal_factor   # 64 primal spp
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    res = int(os.environ.get("BENCH_GRID", 64))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    bundle = smoke_scene(res=res, resx=128, resy=128, n_sensors=16)
+    cfg = VolpathConfig(max_depth=32, max_steps=2048)
+    settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
+                              film_size=bundle.film_size, spp=spp,
+                              spp_grad=spp_grad)
+    render = make_render(settings, bundle.to_world)
+
+    params = bundle.start_from
+    opt_state = adam_init(params)
+    lr = jax.tree_util.tree_map(lambda _: 5e-3, params)
+
+    @jax.jit
+    def step(params, opt_state, sensor_idx, pixels, ref, seed, seed_grad):
+        def f(p):
+            img = render(p, bundle.emitter, bundle.cameras, sensor_idx,
+                         pixels, seed, seed_grad)
+            return losses.l1(img, ref)
+        loss, grads = jax.value_and_grad(f)(params)
+        params, opt_state = adam_step(params, grads, opt_state, lr)
+        params = enforce_valid_params(params, bundle.max_density)
+        return params, opt_state, loss
+
+    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(1), 16,
+                                             bundle.film_size, batch)
+    ref = jnp.full((batch, 3), 0.3, jnp.float32)
+
+    # compile + warmup
+    params, opt_state, loss = step(params, opt_state, sensor_idx, pixels,
+                                   ref, jnp.uint32(0), jnp.uint32(1))
+    jax.block_until_ready(params)
+
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state, sensor_idx, pixels,
+                                       ref, jnp.uint32(2 * i + 2),
+                                       jnp.uint32(2 * i + 3))
+    jax.block_until_ready(params)
+    dt = time.time() - t0
+
+    rays_per_iter = batch * (spp + 2 * spp_grad)
+    mrays = rays_per_iter * iters / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd+bwd @64spp",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 62.5, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Scene-layer tests: cameras, emitters (MC-validated), phase, medium."""
+import numpy as np
+import jax.numpy as jnp
+
+from uivr_tpu.core import make_sampler, next_1d, next_2d
+from uivr_tpu.scene import (
+    ConstantEmitter, MediumConfig, MediumParams, finalize_medium,
+    intersect_bbox, look_at, majorant_at, make_cameras, make_envmap,
+    orbit_cameras, phase_eval, phase_sample, sample_rays, sigma_t_at,
+)
+
+
+# ---------------------------------------------------------------- cameras
+
+def test_camera_center_ray_points_at_target():
+    m = look_at([4.0, 4.0, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    cams = make_cameras(m, fov_x_deg=30.0, resx=64, resy=64)
+    o, d = sample_rays(cams, jnp.zeros((1,), jnp.int32),
+                       jnp.array([[0.5, 0.5]], jnp.float32))
+    np.testing.assert_allclose(np.asarray(o)[0], [4, 4, 4], rtol=1e-5)
+    expected = -np.array([4.0, 4.0, 4.0]) / np.linalg.norm([4.0, 4.0, 4.0])
+    np.testing.assert_allclose(np.asarray(d)[0], expected, atol=1e-5)
+
+
+def test_camera_fov_edges():
+    m = look_at([0.0, 0.0, -1.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    cams = make_cameras(m, fov_x_deg=90.0, resx=64, resy=64)
+    uv = jnp.array([[0.0, 0.5], [1.0, 0.5]], jnp.float32)
+    _, d = sample_rays(cams, jnp.zeros((2,), jnp.int32), uv)
+    d = np.asarray(d)
+    # 90 deg fov: edge rays at 45 deg from the axis
+    np.testing.assert_allclose(abs(d[0, 0]), np.cos(np.pi / 4), rtol=1e-4)
+    assert d[0, 0] * d[1, 0] < 0  # opposite sides
+
+
+def test_orbit_cameras_all_see_origin():
+    cams = orbit_cameras(8, radius=3.0, target=(0, 0, 0))
+    idx = jnp.arange(8, dtype=jnp.int32)
+    o, d = sample_rays(cams, idx, jnp.full((8, 2), 0.5, jnp.float32))
+    # center rays point from each origin toward the target
+    expected = -np.asarray(o) / np.linalg.norm(np.asarray(o), axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(d), expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------- emitters
+
+def test_constant_emitter_sampling_integrates_to_radiance():
+    em = ConstantEmitter(radiance=jnp.array([1.0, 0.8, 0.2]))
+    s = make_sampler(5, n_lanes=20000)
+    u2, s = next_2d(s)
+    d, pdf, w = em.sample_direction(u2)
+    # E[radiance/pdf] * pdf == radiance; and directions are unit
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(w) * np.asarray(pdf)[:, None],
+        np.broadcast_to(np.array([1.0, 0.8, 0.2]), (20000, 3)), rtol=1e-4)
+
+
+def _test_envmap(data):
+    em = make_envmap(data)
+    s = make_sampler(11, n_lanes=200000)
+
+    # MC estimate of integral of radiance over the sphere two ways:
+    # 1. uniform sphere sampling of eval()
+    u2, s = next_2d(s)
+    d_uni, pdf_uni, _ = ConstantEmitter(jnp.ones(3)).sample_direction(u2)
+    est_uniform = np.asarray(em.eval(d_uni)).mean(0) * 4 * np.pi
+
+    # 2. importance sampling: E[radiance/pdf]
+    u2, s = next_2d(s)
+    d, pdf, w = em.sample_direction(u2)
+    est_importance = np.asarray(w).mean(0)
+
+    np.testing.assert_allclose(est_importance, est_uniform, rtol=0.05)
+
+    # pdf_direction must match the pdf returned by sampling; a tiny fraction
+    # of lanes may land exactly on a pixel-bin edge and round to the
+    # neighboring texel's pmf
+    pdf_q = np.asarray(em.pdf_direction(d))
+    pdf_s = np.asarray(pdf)
+    mismatch = np.abs(pdf_q - pdf_s) > 2e-2 * np.abs(pdf_s)
+    assert mismatch.mean() < 1e-3, mismatch.mean()
+
+    # pdf integrates to 1 (MC over uniform directions)
+    pdf_u = np.asarray(em.pdf_direction(d_uni))
+    np.testing.assert_allclose(pdf_u.mean() * 4 * np.pi, 1.0, rtol=0.05)
+
+
+def test_envmap_constant_map():
+    _test_envmap(np.full((16, 32, 3), 0.7, np.float32))
+
+
+def test_envmap_structured_map():
+    rs = np.random.RandomState(0)
+    data = rs.rand(24, 48, 3).astype(np.float32) ** 2 * 3.0
+    data[5:8, 10:14] *= 50.0  # bright blob to stress importance sampling
+    _test_envmap(data)
+
+
+def test_envmap_uv_roundtrip():
+    em = make_envmap(np.ones((8, 16, 3), np.float32))
+    rs = np.random.RandomState(2)
+    d = rs.randn(100, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    uv = em._dir_to_uv(jnp.asarray(d, jnp.float32))
+    d2 = em._uv_to_dir(uv)
+    np.testing.assert_allclose(np.asarray(d2), d, atol=1e-4)
+
+
+# ---------------------------------------------------------------- phase
+
+def test_phase_isotropic():
+    s = make_sampler(3, n_lanes=5000)
+    u1, s = next_1d(s)
+    u2, s = next_1d(s)
+    wi = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (5000, 3))
+    wo, pdf = phase_sample(jnp.float32(0.0), wi, u1, u2)
+    np.testing.assert_allclose(np.asarray(pdf), 1 / (4 * np.pi), rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(wo), axis=1), 1.0, rtol=1e-5)
+    # mean direction ~ 0 for isotropic
+    assert np.abs(np.asarray(wo).mean(0)).max() < 0.05
+
+
+def test_phase_hg_moments_and_pdf_consistency():
+    g = 0.6
+    s = make_sampler(4, n_lanes=100000)
+    u1, s = next_1d(s)
+    u2, s = next_1d(s)
+    wi = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (100000, 3))
+    wo, pdf = phase_sample(jnp.float32(g), wi, u1, u2)
+    cos_t = np.asarray(jnp.sum(wi * wo, axis=-1))
+    # E[cos theta] = g for HG
+    np.testing.assert_allclose(cos_t.mean(), g, atol=0.01)
+    # eval == pdf (perfect importance sampling)
+    val = phase_eval(jnp.float32(g), wi, wo)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(pdf), rtol=1e-4)
+    # pdf normalizes over sphere: E_uniform[pdf] * 4pi = 1
+    u2d, s = next_2d(s)
+    d_uni, _, _ = ConstantEmitter(jnp.ones(3)).sample_direction(u2d[:20000])
+    p = phase_eval(jnp.float32(g), wi[:20000], d_uni)
+    np.testing.assert_allclose(np.asarray(p).mean() * 4 * np.pi, 1.0, rtol=0.05)
+
+
+# ---------------------------------------------------------------- medium
+
+def _tiny_params(D=5, H=5, W=5, seed=0):
+    rs = np.random.RandomState(seed)
+    return MediumParams(
+        sigma_t=jnp.asarray(rs.rand(D, H, W, 1).astype(np.float32)),
+        albedo=jnp.asarray(rs.rand(D, H, W, 3).astype(np.float32)),
+        emission=jnp.asarray(rs.rand(D, H, W, 3).astype(np.float32)),
+    )
+
+
+def test_medium_majorant_bounds_sigma():
+    p = _tiny_params(9, 9, 9)
+    m = finalize_medium(p, MediumConfig(majorant_factor=2, scale=3.0))
+    rs = np.random.RandomState(1)
+    pts = jnp.asarray(rs.rand(3000, 3).astype(np.float32))
+    sig = np.asarray(sigma_t_at(m, pts))
+    maj = np.asarray(majorant_at(m, pts))
+    assert (sig <= maj + 1e-4).all()
+
+
+def test_medium_majorant_factor_auto_disable():
+    # 5^3 grid with factor 8 -> supergrid must collapse to a single cell
+    p = _tiny_params(5, 5, 5)
+    m = finalize_medium(p, MediumConfig(majorant_factor=8, scale=1.0))
+    assert m.majorant_grid.shape == (1, 1, 1)
+    np.testing.assert_allclose(float(m.majorant_grid[0, 0, 0]),
+                               float(jnp.max(p.sigma_t)), rtol=1e-6)
+
+
+def test_medium_bbox_intersection_with_transform():
+    p = _tiny_params()
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] *= 2.0
+    T[:3, 3] = [-1.0, -1.0, -1.0]  # cube covers [-1,1]^3 in world
+    m = finalize_medium(p, MediumConfig(), to_world=T)
+    o = jnp.array([[-3.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    tn, tf, hit, ol, dl = intersect_bbox(m, o, d)
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(tn[0]), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(float(tf[0]), 4.0, rtol=1e-5)

@@ -1,0 +1,210 @@
+"""Ray-centric batched differentiable rendering with a custom VJP.
+
+TPU-native re-design of the reference's ``_BatchedRenderOp``/``render_batch``
+(reference: python/batched.py): every optimization step renders a batch of
+(sensor, pixel) pairs drawn across ALL sensors, with the backward pass
+re-sampling a *decorrelated* set of adjoint rays through the same pixels —
+the decorrelation of primal and adjoint estimators is what keeps gradients
+unbiased (batched.py:69-82,119-124).
+
+Mapping of the reference machinery onto JAX:
+
+- ``dr.CustomOp``            -> ``jax.custom_vjp`` over the grid params
+- W x 1 hdrfilm + box filter -> per-pixel mean over the spp axis; the
+  "differentiate splat/develop to get per-ray adjoint dL" step
+  (batched.py:272-306) reduces analytically to dL = image_cotangent / spp
+- sampler bookkeeping        -> TEA-derived seeds per purpose
+  (batched.py:397-423): pixel sampler tea(seed, 5), primal subpixel sampler
+  tea(seed, 22), adjoint subpixel sampler tea(seed, 39); the integrator
+  stream uses ``seed`` (primal) / ``seed_grad`` (adjoint replay+backward)
+
+Static configuration (integrator kind + flags, spp, film size) is closed
+over by :func:`make_render`; the returned function is jit-compatible, and
+its arguments are traced so one compilation serves the whole optimization.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rng import make_sampler, next_2d, sample_tea_32
+from ..integrators import nerf as nerf_mod
+from ..integrators import volpathsimple as vps_mod
+from ..integrators.nerf import NerfConfig
+from ..integrators.volpathsimple import VolpathConfig
+from ..scene.camera import Cameras, sample_rays
+from ..scene.medium import MediumConfig, MediumParams, finalize_medium
+from ..scene.scene import Emitter, Scene
+
+IntegratorConfig = Union[NerfConfig, VolpathConfig]
+
+
+def sample_batch_pixels(seed, n_sensors: int, film_size: Tuple[int, int],
+                        batch_size: int):
+    """Draw (sensor, pixel) pairs for one batch (reference
+    sample_batch_pixels, batched.py:397-423). Returns
+    (sensor_idx (B,) i32, pixels (B, 2) i32 with (x, y))."""
+    sub_seed, _ = sample_tea_32(seed, 5)
+    s = make_sampler(sub_seed, n_lanes=batch_size)
+    u1, s = next_2d(s)
+    sensor_idx = jnp.minimum((u1[:, 0] * n_sensors).astype(jnp.int32),
+                             n_sensors - 1)
+    u2, s = next_2d(s)
+    fs = jnp.array(film_size, jnp.float32)
+    pixels = jnp.minimum((u2 * fs).astype(jnp.int32),
+                         jnp.array(film_size, jnp.int32) - 1)
+    return sensor_idx, pixels
+
+
+def _expand_rays(cameras: Cameras, sensor_idx, pixels, film_size, spp: int,
+                 subpixel_seed):
+    """Repeat each pixel spp times with jittered subpixel positions and
+    generate camera rays (reference sample_batch_rays, batched.py:426-467)."""
+    B = sensor_idx.shape[0]
+    rep = jax.lax.broadcasted_iota(jnp.int32, (B * spp, 1), 0)[:, 0] // spp
+    sidx = sensor_idx[rep]
+    pix = pixels[rep].astype(jnp.float32)
+    s = make_sampler(subpixel_seed, n_lanes=B * spp)
+    offset, _ = next_2d(s)
+    fs = jnp.array(film_size, jnp.float32)
+    uv = (pix + offset) / fs
+    o, d = sample_rays(cameras, sidx, uv)
+    return o, d
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    integrator: IntegratorConfig
+    medium: MediumConfig
+    film_size: Tuple[int, int]
+    spp: int
+    spp_grad: int
+
+
+def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, sampler):
+    if isinstance(cfg, NerfConfig):
+        return nerf_mod.sample_primal(cfg, scene, o, d, sampler)
+    return vps_mod.sample_primal(cfg, scene, o, d, sampler)
+
+
+def _dispatch_adjoint(cfg: IntegratorConfig, scene, o, d, sampler, dL, L):
+    if isinstance(cfg, NerfConfig):
+        g, _ = nerf_mod.sample_adjoint(cfg, scene, o, d, sampler, dL, L)
+        return g
+    g, _ = vps_mod.sample_adjoint(cfg, scene, o, d, sampler, dL, L)
+    return g
+
+
+def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
+    """Build the differentiable batched render function:
+
+        image (B, 3) = render(params, emitter, cameras,
+                              sensor_idx (B,), pixels (B,2), seed, seed_grad)
+
+    Differentiable w.r.t. ``params`` (the voxel grids); emitter/camera
+    gradients are not propagated (matching the reference's scope —
+    "TODO: envmap gradients", volpathsimple.py:283).
+    """
+    st = settings
+    if medium_to_world is None:
+        medium_to_world = np.eye(4, dtype=np.float32)
+
+    def _scene(params: MediumParams, emitter: Emitter, cameras: Cameras):
+        return Scene(medium=finalize_medium(params, st.medium, medium_to_world),
+                     emitter=emitter, cameras=cameras)
+
+    def _primal_image(params, emitter, cameras, sensor_idx, pixels, seed):
+        scene = _scene(params, emitter, cameras)
+        sub_seed, _ = sample_tea_32(seed, 22)
+        o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
+                            st.spp, sub_seed)
+        sampler = make_sampler(seed, n_lanes=o.shape[0])
+        L, valid, _ = _dispatch_primal(st.integrator, scene, o, d, sampler)
+        B = sensor_idx.shape[0]
+        return L.reshape(B, st.spp, 3).mean(axis=1)
+
+    @jax.custom_vjp
+    def render(params, emitter, cameras, sensor_idx, pixels, seed, seed_grad):
+        return _primal_image(params, emitter, cameras, sensor_idx, pixels, seed)
+
+    def render_fwd(params, emitter, cameras, sensor_idx, pixels, seed, seed_grad):
+        img = _primal_image(params, emitter, cameras, sensor_idx, pixels, seed)
+        return img, (params, emitter, cameras, sensor_idx, pixels, seed_grad)
+
+    def render_bwd(res, g_img):
+        params, emitter, cameras, sensor_idx, pixels, seed_grad = res
+        scene = _scene(params, emitter, cameras)
+        B = sensor_idx.shape[0]
+        spp_g = st.spp_grad
+
+        # Decorrelated adjoint rays through the same pixels (batched.py:69-75)
+        sub_seed, _ = sample_tea_32(seed_grad, 39)
+        o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
+                            spp_g, sub_seed)
+
+        # per-sample adjoint radiance: develop() is the mean over spp, so the
+        # splat-differentiation step reduces to g / spp (batched.py:272-306)
+        rep = jax.lax.broadcasted_iota(jnp.int32, (B * spp_g, 1), 0)[:, 0] // spp_g
+        dL = g_img[rep] / spp_g
+
+        # (1) detached primal replay, (2) adjoint pass — same stream
+        sampler = make_sampler(seed_grad, n_lanes=o.shape[0])
+        L, _, _ = _dispatch_primal(st.integrator, scene, o, d, sampler)
+        sampler = make_sampler(seed_grad, n_lanes=o.shape[0])
+        grads = _dispatch_adjoint(st.integrator, scene, o, d, sampler, dL, L)
+
+        zero_em = jax.tree_util.tree_map(jnp.zeros_like, emitter)
+        zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cameras)
+        return (grads, zero_em, zero_cam, None, None, None, None)
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
+
+
+def render_image(settings: RenderSettings, params: MediumParams,
+                 emitter: Emitter, cameras: Cameras, sensor: int,
+                 seed=0, spp: int = None, chunk: int = 65536,
+                 medium_to_world: np.ndarray = None) -> np.ndarray:
+    """Full-frame (non-differentiable) render of one sensor with multi-pass
+    chunking — the reference's reference-image/preview path with its
+    memory-bounded pass splitting (optimize.py:24-53, render_previews).
+    Host-side loop over pixel chunks; returns (H, W, 3) numpy."""
+    st = settings
+    W, H = st.film_size
+    spp = spp or st.spp
+    if medium_to_world is None:
+        medium_to_world = np.eye(4, dtype=np.float32)
+    scene = Scene(medium=finalize_medium(params, st.medium, medium_to_world),
+                  emitter=emitter, cameras=cameras)
+
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    all_pixels = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
+    n_pix = all_pixels.shape[0]
+    chunk_pix = max(1, chunk // spp)
+
+    @jax.jit
+    def _render_chunk(params_, pixels, seed_):
+        sc = scene._replace(medium=finalize_medium(params_, st.medium,
+                                                   medium_to_world))
+        sub_seed, _ = sample_tea_32(seed_, 22)
+        sidx = jnp.full((pixels.shape[0],), sensor, jnp.int32)
+        o, d = _expand_rays(sc.cameras, sidx, pixels, st.film_size, spp, sub_seed)
+        sampler = make_sampler(seed_, n_lanes=o.shape[0])
+        L, _, _ = _dispatch_primal(st.integrator, sc, o, d, sampler)
+        return L.reshape(pixels.shape[0], spp, 3).mean(axis=1)
+
+    out = np.zeros((n_pix, 3), np.float32)
+    for i in range(0, n_pix, chunk_pix):
+        pix = all_pixels[i:i + chunk_pix]
+        pad = 0
+        if pix.shape[0] < chunk_pix and i > 0:
+            pad = chunk_pix - pix.shape[0]
+            pix = np.concatenate([pix, np.zeros((pad, 2), np.int32)])
+        vals = np.asarray(_render_chunk(params, jnp.asarray(pix),
+                                        jnp.uint32(seed + i)))
+        out[i:i + chunk_pix - pad] = vals[:pix.shape[0] - pad]
+    return out.reshape(H, W, 3)
