@@ -192,45 +192,133 @@ def test_volpath_primal_nee_consistency(nee):
     np.testing.assert_allclose(img_a, img_b, atol=0.04)
 
 
-def _volpath_grad_test(int_cfg, spp_fd, spp_ad, atol_frac, keys):
-    b = cube_test_scene(resx=8, resy=8)
-    st, render = _make(b, int_cfg, spp=spp_fd, spp_grad=spp_ad)
-    pixels, sidx = _grid_pixels(8, 8)
-    seed, seed_grad = jnp.uint32(21), jnp.uint32(22)
+def _fixed_rays(b, rep):
+    from uivr_tpu.scene.camera import sample_rays
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4))
+    uv = (np.stack([xs.ravel(), ys.ravel()], -1) + 0.5) / 4.0 * 0.5 + 0.25
+    uv = jnp.asarray(np.tile(uv, (rep, 1)), jnp.float32)
+    sidx = jnp.zeros((uv.shape[0],), jnp.int32)
+    return sample_rays(b.cameras, sidx, uv)
+
+
+def _adjoint_grads(b, cfg, o, d, seed):
+    from uivr_tpu.core import make_sampler
+    from uivr_tpu.integrators import volpathsimple as vps
+    from uivr_tpu.scene import Scene, finalize_medium
+
+    sc = Scene(medium=finalize_medium(b.params, b.medium_cfg, b.to_world),
+               emitter=b.emitter, cameras=b.cameras)
+    N = o.shape[0]
 
     @jax.jit
-    def loss(params):
-        img = render(params, b.emitter, b.cameras, sidx, pixels, seed, seed_grad)
-        return jnp.mean(jnp.square(img - 0.5))
-
-    g = jax.jit(jax.grad(loss))(b.params)
-    fd = fd_gradients(lambda p: loss(p), b.params, eps=1e-2, keys=keys)
-
-    for key in keys:
-        ga = np.asarray(getattr(g, key)).ravel()
-        gf = fd[key].ravel()
-        scale = max(np.abs(gf).max(), 1e-12)
-        err = np.abs(ga - gf) / scale
-        corr = np.corrcoef(ga, gf)[0, 1]
-        assert corr > 0.95, (key, corr)
-        assert np.median(err) < atol_frac, (key, np.median(err))
+    def run(seed):
+        L, _, _ = vps.sample_primal(cfg, sc, o, d, make_sampler(seed, n_lanes=N))
+        dL = jnp.full((N, 3), 1.0 / (N * 3), jnp.float32)
+        g, _ = vps.sample_adjoint(cfg, sc, o, d,
+                                  make_sampler(seed, n_lanes=N), dL, L)
+        return g
+    return run(jnp.uint32(seed))
 
 
 @pytest.mark.slow
-def test_volpath_gradients_basic_match_fd():
-    """Baseline (free-flight) adjoint vs FD (reference test_04 analogue)."""
-    _volpath_grad_test(
-        VolpathConfig(max_depth=16, use_nee=True, use_drt=False),
-        spp_fd=768, spp_ad=768, atol_frac=0.15, keys=("sigma_t", "albedo"))
+def test_volpath_adjoint_vs_quadrature_oracle():
+    """Free-flight adjoint sigma/albedo gradients vs an EXACT differentiable
+    single-scatter quadrature oracle (max_depth=2, no NEE, constant
+    emitter): validates the in-scattering score term, the transmittance
+    gradients and the PRB bookkeeping to ~1%.  (Stronger than the
+    reference's FD oracle, which has high variance under discrete
+    real/null-event flips.)"""
+    from uivr_tpu.core import aabb
+    from uivr_tpu.scene import albedo_at, finalize_medium, sigma_t_at
+
+    b = cube_test_scene()
+    cfg = VolpathConfig(max_depth=2, use_nee=False, use_drt=False)
+    o, d = _fixed_rays(b, rep=4096)
+    gs = np.stack([
+        np.concatenate([np.asarray(g.sigma_t).ravel(),
+                        np.asarray(g.albedo).ravel()])
+        for g in (_adjoint_grads(b, cfg, o, d, 300 + s) for s in range(4))])
+    g_adj = gs.mean(0)
+
+    # ---- oracle: L = T*env + single scattering, full quadrature
+    m0 = finalize_medium(b.params, b.medium_cfg, b.to_world)
+    o16, d16 = o[:16], d[:16]
+    ol = aabb.transform_points(m0.world_to_local, o16)
+    dl = aabb.transform_dirs(m0.world_to_local, d16)
+    tn, tf, _ = aabb.ray_unit_cube(ol, dl)
+    K, K2, M = 192, 96, 72
+    i = np.arange(M)
+    golden = np.pi * (3 - np.sqrt(5))
+    ymd = 1 - 2 * (i + 0.5) / M
+    r = np.sqrt(1 - ymd ** 2)
+    dirs_w = np.stack([np.cos(golden * i) * r, ymd,
+                       np.sin(golden * i) * r], -1).astype(np.float32)
+    dirs_l = jnp.asarray(dirs_w) @ m0.world_to_local[:3, :3].T
+    env_mean = jnp.asarray(np.array([1.0, 0.8, 0.2], np.float32))
+
+    def oracle(params):
+        m = finalize_medium(params, b.medium_cfg, b.to_world)
+        ts = tn[:, None] + (tf - tn)[:, None] * (jnp.arange(K) + 0.5) / K
+        pts = ol[:, None, :] + ts[..., None] * dl[:, None, :]
+        sig = sigma_t_at(m, pts.reshape(-1, 3)).reshape(16, K)
+        dt = ((tf - tn) / K)[:, None]
+        tau_cum = jnp.cumsum(sig, 1) * dt - sig * dt * 0.5
+        T_in = jnp.exp(-tau_cum)
+        alb = albedo_at(m, pts.reshape(-1, 3)).reshape(16, K, 3)
+        p_flat = pts.reshape(-1, 3)
+
+        def exitT(dirl):
+            _, tf2, _ = aabb.ray_unit_cube(p_flat,
+                                           jnp.broadcast_to(dirl, p_flat.shape))
+            ts2 = tf2[:, None] * (jnp.arange(K2) + 0.5) / K2
+            q = p_flat[:, None, :] + ts2[..., None] * dirl[None, None, :]
+            s2 = sigma_t_at(m, q.reshape(-1, 3)).reshape(-1, K2)
+            return jnp.exp(-jnp.sum(s2, 1) * tf2 / K2)
+        Texit = jnp.stack([exitT(dirs_l[j]) for j in range(M)], 1)
+        Texit = Texit.mean(1).reshape(16, K)
+        T_chord = jnp.exp(-jnp.sum(sig, 1) * (tf - tn) / K)
+        Lbg = T_chord[:, None] * env_mean
+        Lss = jnp.sum((sig * T_in * Texit)[:, :, None] * alb * dt[..., None],
+                      1) * env_mean
+        return jnp.mean(Lbg + Lss)
+
+    g_or = jax.grad(oracle)(b.params)
+    g_ref = np.concatenate([np.asarray(g_or.sigma_t).ravel(),
+                            np.asarray(g_or.albedo).ravel()])
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_adj / scale, g_ref / scale, atol=0.02)
 
 
 @pytest.mark.slow
-def test_volpath_gradients_drt_match_fd():
-    """DRT + subsampling + MIS adjoint vs FD."""
-    _volpath_grad_test(
-        VolpathConfig(max_depth=16, use_nee=True, use_drt=True,
-                      use_drt_subsampling=True, use_drt_mis=True),
-        spp_fd=768, spp_ad=768, atol_frac=0.15, keys=("sigma_t", "albedo"))
+def test_volpath_gradient_estimators_cross_consistent():
+    """basic / DRT / DRT-quadratic (all with NEE) are unbiased estimators of
+    the same gradient: their multi-seed means must agree.  Validates the DRT
+    sampler + reservoir subsampling + MIS against the oracle-validated
+    baseline."""
+    b = cube_test_scene()
+    o, d = _fixed_rays(b, rep=2048)
+    cfgs = {
+        "basic": VolpathConfig(max_depth=16, use_nee=True, use_drt=False),
+        "drt": VolpathConfig(max_depth=16, use_nee=True, use_drt=True,
+                             use_drt_subsampling=True, use_drt_mis=True),
+        "drtq": VolpathConfig(max_depth=16, use_nee=True, use_drt=True,
+                              use_drt_subsampling=False, use_drt_mis=True),
+    }
+    means = {}
+    for name, cfg in cfgs.items():
+        gs = np.stack([
+            np.concatenate([np.asarray(g.sigma_t).ravel(),
+                            np.asarray(g.albedo).ravel()])
+            for g in (_adjoint_grads(b, cfg, o, d, 400 + 17 * s)
+                      for s in range(6))])
+        means[name] = gs.mean(0)
+    scale = np.abs(means["basic"]).max()
+    for a, bb in [("basic", "drt"), ("basic", "drtq"), ("drt", "drtq")]:
+        diff = np.abs(means[a] - means[bb]) / scale
+        assert np.median(diff) < 0.03, (a, bb, np.median(diff))
+        assert diff.max() < 0.15, (a, bb, diff.max())
+        corr = np.corrcoef(means[a], means[bb])[0, 1]
+        assert corr > 0.99, (a, bb, corr)
 
 
 # ---------------------------------------------------------------- batching

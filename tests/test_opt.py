@@ -1,0 +1,104 @@
+"""Optimization layer: optimizer math, schedules, projection, and a tiny
+end-to-end reconstruction that must reduce the loss."""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uivr_tpu.opt import (
+    OptimizationConfig, Schedule, adam_init, adam_step, enforce_valid_params,
+    initial_resolution, learning_rates, run_optimization, save_checkpoint,
+    load_checkpoint, upsample_params,
+)
+from uivr_tpu.opt.schedule import schedule_factor, upsample_iterations
+from uivr_tpu.scene.medium import MediumParams
+
+
+def _params(val=1.0, res=4):
+    return MediumParams(
+        sigma_t=jnp.full((res, res, res, 1), val),
+        albedo=jnp.full((res, res, res, 3), val),
+        emission=jnp.full((res, res, res, 3), val),
+    )
+
+
+def test_adam_minimizes_quadratic():
+    p = _params(1.0)
+    target = _params(0.25)
+    state = adam_init(p)
+    lr = MediumParams(sigma_t=0.05, albedo=0.05, emission=0.05)
+    for _ in range(200):
+        grads = jax.tree_util.tree_map(lambda a, b: 2 * (a - b), p, target)
+        p, state = adam_step(p, grads, state, lr)
+    for a, b in zip(p, target):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_schedule_last25():
+    n = 1000
+    assert schedule_factor(Schedule.Last25, 0, n) == 1.0
+    assert schedule_factor(Schedule.Last25, 760, n) == 0.5
+    assert schedule_factor(Schedule.Last25, 860, n) == 0.25
+    assert schedule_factor(Schedule.Last25, 960, n) == 0.125
+    assert schedule_factor(Schedule.Constant, 990, n) == 1.0
+
+
+def test_learning_rate_factors():
+    lr = learning_rates(1e-2, Schedule.Constant, 0, 100, {"albedo": 2.0})
+    assert lr.albedo == 2e-2 and lr.sigma_t == 1e-2
+
+
+def test_upsample_and_initial_resolution():
+    p = _params(0.5, res=4)
+    up = upsample_params(p)
+    assert up.sigma_t.shape == (8, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(up.albedo), 0.5, rtol=1e-5)
+    assert initial_resolution((64, 64, 64, 3), 2) == (16, 16, 16, 3)
+    assert upsample_iterations([0.04, 0.5], 100) == {4, 50}
+
+
+def test_enforce_valid_params():
+    p = MediumParams(sigma_t=jnp.array([[[[-1.0], [300.0]]]]),
+                     albedo=jnp.array([[[[1.5, -0.2, 0.5]]]]),
+                     emission=jnp.array([[[[-3.0, 0.1, 2.0]]]]))
+    q = enforce_valid_params(p, 250.0)
+    assert float(q.sigma_t.min()) == 0.0 and float(q.sigma_t.max()) == 250.0
+    assert float(q.albedo.min()) == 0.0 and float(q.albedo.max()) == 1.0
+    assert float(q.emission.min()) == 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = _params(0.7)
+    save_checkpoint(str(tmp_path), p, "final")
+    q = load_checkpoint(str(tmp_path), "final")
+    for a, b in zip(p, q):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_tiny_optimization_reduces_loss(tmp_path):
+    """End-to-end: recover emission+sigma of the cube scene with the nerf
+    integrator for a few dozen iterations; loss must drop substantially.
+    (The minimum end-to-end slice of SURVEY.md §7.)"""
+    from uivr_tpu.config import cube_test_scene
+    from uivr_tpu.integrators import NerfConfig
+
+    b = cube_test_scene(resx=24, resy=24)
+    b.start_from = MediumParams(
+        sigma_t=jnp.full_like(b.params.sigma_t, 0.05),
+        albedo=jnp.full_like(b.params.albedo, 0.5),
+        emission=jnp.full_like(b.params.emission, 0.05),
+    )
+    opt = OptimizationConfig(name="test", spp=2, n_iter=60, lr=2e-2,
+                             primal_spp_factor=4, batch_size=288,
+                             checkpoint_stride=0, preview_stride=10**9)
+    out = str(tmp_path / "run")
+    run_optimization(out, opt, b, NerfConfig(queries_per_ray=32),
+                     ref_spp=16, verbose=False)
+
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    losses = [m["loss"] for m in metrics]
+    assert losses[-1] < 0.5 * losses[0], losses
+    assert os.path.isfile(os.path.join(out, "params",
+                                       "final-medium1_sigma_t.vol"))

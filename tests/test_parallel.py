@@ -1,0 +1,83 @@
+"""Multi-chip sharding: the full sharded training step must compile and run
+on the virtual 8-device CPU mesh, be deterministic, and agree statistically
+with the single-device path (tests the reference lacks — SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uivr_tpu.config import smoke_scene
+from uivr_tpu.integrators import VolpathConfig
+from uivr_tpu.opt import losses
+from uivr_tpu.parallel import (make_mesh, replicate, shard_batch,
+                               sharded_loss_and_grad)
+from uivr_tpu.render import RenderSettings, make_render, sample_batch_pixels
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    bundle = smoke_scene(res=16, resx=32, resy=32, n_sensors=4)
+    cfg = VolpathConfig(max_depth=4, max_steps=256)
+    settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
+                              film_size=bundle.film_size, spp=2, spp_grad=2)
+    render = make_render(settings, bundle.to_world)
+    return bundle, render
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_step_deterministic(setup):
+    bundle, render = setup
+    mesh = make_mesh(8)
+    vag = sharded_loss_and_grad(mesh, render, losses.l1)
+    batch = 64
+    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(3), 4,
+                                             bundle.film_size, batch)
+    ref = jnp.full((batch, 3), 0.25)
+    params = replicate(mesh, bundle.start_from)
+    em = replicate(mesh, bundle.emitter)
+    cams = replicate(mesh, bundle.cameras)
+    sensor_idx, pixels, ref = shard_batch(mesh, (sensor_idx, pixels, ref))
+
+    l1, g1 = jax.jit(vag)(params, em, cams, sensor_idx, pixels, ref,
+                          jnp.uint32(5), jnp.uint32(6))
+    l2, g2 = jax.jit(vag)(params, em, cams, sensor_idx, pixels, ref,
+                          jnp.uint32(5), jnp.uint32(6))
+    assert float(l1) == float(l2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for g in g1:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sharded_loss_matches_single_device_statistically(setup):
+    """Sharded and unsharded pipelines use different RNG streams but estimate
+    the same quantities; with a large batch their losses must agree."""
+    bundle, render = setup
+    mesh = make_mesh(8)
+    vag = sharded_loss_and_grad(mesh, render, losses.l1)
+    batch = 2048
+    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(7), 4,
+                                             bundle.film_size, batch)
+    ref = jnp.full((batch, 3), 0.25)
+
+    def single(params):
+        img = render(params, bundle.emitter, bundle.cameras, sensor_idx,
+                     pixels, jnp.uint32(9), jnp.uint32(10))
+        return losses.l1(img, ref)
+
+    l_single = float(jax.jit(single)(bundle.start_from))
+
+    params = replicate(mesh, bundle.start_from)
+    em = replicate(mesh, bundle.emitter)
+    cams = replicate(mesh, bundle.cameras)
+    s_idx, pix, ref_s = shard_batch(mesh, (sensor_idx, pixels, ref))
+    l_shard, g = jax.jit(vag)(params, em, cams, s_idx, pix, ref_s,
+                              jnp.uint32(9), jnp.uint32(10))
+    assert abs(float(l_shard) - l_single) / max(l_single, 1e-9) < 0.05

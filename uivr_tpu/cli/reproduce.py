@@ -1,0 +1,97 @@
+"""Reproduction driver CLI (reference: python/reproduce.py).
+
+Runs the two-stage pipeline of the paper: a fast ``nerf`` bootstrap stage
+whose checkpoints warm-start the physically-based ``volpathsimple-*`` stage.
+
+    python -m uivr_tpu.cli.reproduce --config janga-smoke \
+        --integrator nerf volpathsimple-drt --outputs outputs/ --scale 0.1
+
+``--scale`` shrinks iteration counts/batch for smoke runs (the reference's
+production preset is 6000 iters x batch 32768, reproduce.py:45-59).
+Completed runs (final checkpoint present) are skipped (reproduce.py:39-41).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from os.path import isfile, join
+
+from ..config.registry import (get_int_config, get_scene_config,
+                               list_int_configs, list_scene_configs)
+from ..opt import OptimizationConfig, load_checkpoint, run_optimization
+from ..opt.schedule import Schedule
+
+# Per-scene/integrator optimization overrides (reference reproduce.py:70-247)
+BASE_OPT = dict(
+    spp=16, n_iter=6000, lr=5e-3, primal_spp_factor=64, batch_size=32768,
+    lr_schedule=Schedule.Last25, upsample=[0.04, 0.16, 0.36, 0.64],
+)
+EXPERIMENT_OVERRIDES = {
+    ("janga-smoke", "nerf"): dict(lr=1e-2),
+    ("dust-devil", "nerf"): dict(lr=1e-2),
+    ("tiny-cube", None): dict(n_iter=600, batch_size=4096, upsample=None),
+}
+
+
+def _opt_for(scene_name: str, int_name: str, scale: float
+             ) -> OptimizationConfig:
+    kw = dict(BASE_OPT)
+    for key in ((scene_name, int_name), (scene_name, None)):
+        kw.update(EXPERIMENT_OVERRIDES.get(key, {}))
+    if scale != 1.0:
+        kw["n_iter"] = max(20, int(kw["n_iter"] * scale))
+        kw["batch_size"] = max(256, int(kw["batch_size"] * min(1.0, scale * 4)))
+    kw["name"] = f"{scene_name}/{int_name}"
+    return OptimizationConfig(**kw)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="tiny-cube",
+                    choices=list_scene_configs())
+    ap.add_argument("--integrator", nargs="+",
+                    default=["nerf", "volpathsimple-drt"],
+                    choices=list_int_configs())
+    ap.add_argument("--outputs", default="outputs")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="shrink iters/batch for smoke runs")
+    ap.add_argument("--ref-spp", type=int, default=None)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard over N devices (0 = single device)")
+    args = ap.parse_args(argv)
+
+    scene_preset = get_scene_config(args.config)
+    bundle = scene_preset.build()
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.mesh)
+
+    for int_name in args.integrator:
+        preset = get_int_config(int_name)
+        out_dir = join(args.outputs, args.config, int_name)
+        final_ck = join(out_dir, "params", "final-medium1_sigma_t.vol")
+        if isfile(final_ck):
+            print(f"[skip] {out_dir} already complete")
+            continue
+
+        start_params = None
+        if scene_preset.warm_start_from:
+            ck_dir = join(args.outputs, scene_preset.warm_start_from)
+            if isfile(join(ck_dir, "final-medium1_sigma_t.vol")):
+                print(f"[i] warm start from {ck_dir}")
+                start_params = load_checkpoint(ck_dir, "final")
+
+        opt = _opt_for(args.config, int_name, args.scale)
+        opt.lr_factors = dict(scene_preset.param_lr_factors)
+        int_cfg = preset.create(max_depth=scene_preset.max_depth)
+        print(f"[run] scene={args.config} integrator={int_name} "
+              f"iters={opt.n_iter} batch={opt.batch_size}")
+        run_optimization(out_dir, opt, bundle, int_cfg,
+                         ref_spp=args.ref_spp or scene_preset.ref_spp,
+                         mesh=mesh, start_params=start_params)
+        print(f"[done] {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

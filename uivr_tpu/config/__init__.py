@@ -1,1 +1,6 @@
 from .scenes import SceneBundle, cube_test_scene, smoke_scene, procedural_sky  # noqa: F401
+from .registry import (  # noqa: F401
+    IntegratorPreset, ScenePreset, add_int_config, add_scene_config,
+    add_scene_config_variant, get_int_config, get_scene_config,
+    list_int_configs, list_scene_configs,
+)

@@ -1,0 +1,150 @@
+"""Config registries: scenes x integrators x optimization presets.
+
+Mirrors the reference's three-tier dataclass config system
+(python/scene_config.py:74-92, python/opt_config.py:113-169).  The paper's
+scene *assets* (.vol volumes + HDR envmaps, downloadable per README.md:116-125)
+are replaced by procedural generators with the same scale envelope
+(up to 256^3 grids, 60+ sensors, density scales 2-100); a scene registered
+with ``medium_files`` instead loads the original assets when present.
+"""
+from __future__ import annotations
+
+from copy import deepcopy
+from dataclasses import dataclass, field, replace
+from typing import Callable, Dict, List, Optional
+
+from ..integrators import NerfConfig, VolpathConfig
+from .scenes import SceneBundle, cube_test_scene, smoke_scene
+
+
+# ---------------------------------------------------------------- integrators
+
+@dataclass(frozen=True)
+class IntegratorPreset:
+    """Named integrator configuration (reference IntegratorConfig,
+    opt_config.py:83-108)."""
+    name: str
+    pretty_name: str
+    kind: str                      # 'nerf' | 'volpath'
+    params: Dict = field(default_factory=dict)
+    uses_fd: bool = False
+    fd_epsilon: Optional[float] = None
+    fd_spp_multiplier: int = 16
+
+    def create(self, max_depth: int):
+        if self.kind == "nerf":
+            return NerfConfig(**self.params)
+        # rr_depth = max_depth + 1000 disables Russian roulette
+        # (reference opt_config.py:106)
+        return VolpathConfig(max_depth=max_depth,
+                             rr_depth=max_depth + 1000, **self.params)
+
+
+_INTEGRATORS: Dict[str, IntegratorPreset] = {}
+
+
+def add_int_config(name: str, **kwargs) -> None:
+    assert name not in _INTEGRATORS, f"duplicate integrator config: {name}"
+    _INTEGRATORS[name] = IntegratorPreset(name=name, **kwargs)
+
+
+def get_int_config(name: str) -> IntegratorPreset:
+    return deepcopy(_INTEGRATORS[name])
+
+
+def list_int_configs() -> List[str]:
+    return sorted(_INTEGRATORS)
+
+
+# the five presets of the reference (opt_config.py:123-169)
+add_int_config("fd-forward", pretty_name="Finite differences",
+               kind="volpath", params={"use_drt": False},
+               uses_fd=True, fd_epsilon=5e-3)
+add_int_config("volpathsimple-drt",
+               pretty_name="Differential Ratio Tracking", kind="volpath",
+               params={"use_drt": True, "use_drt_subsampling": True,
+                       "use_drt_mis": True})
+add_int_config("volpathsimple-drt-quadratic",
+               pretty_name="Differential Ratio Tracking (quadratic)",
+               kind="volpath",
+               params={"use_drt": True, "use_drt_subsampling": False,
+                       "use_drt_mis": True})
+add_int_config("volpathsimple-basic", pretty_name="Free-flight based",
+               kind="volpath", params={"use_drt": False})
+add_int_config("nerf", pretty_name="NeRF (grid-backed)", kind="nerf",
+               params={"queries_per_ray": 128})
+
+
+# ---------------------------------------------------------------- scenes
+
+@dataclass(frozen=True)
+class ScenePreset:
+    """Named scene configuration (reference SceneConfig, scene_config.py:9-71)."""
+    name: str
+    builder: Callable[..., SceneBundle]
+    builder_kwargs: Dict = field(default_factory=dict)
+    max_depth: int = 64
+    ref_spp: int = 512
+    max_density: float = 250.0
+    param_lr_factors: Dict[str, float] = field(
+        default_factory=lambda: {"albedo": 2.0})
+    # warm start from a previous stage's checkpoint directory
+    warm_start_from: Optional[str] = None
+
+    def build(self) -> SceneBundle:
+        b = self.builder(**self.builder_kwargs)
+        b.max_depth = self.max_depth
+        b.max_density = self.max_density
+        return b
+
+
+_SCENES: Dict[str, ScenePreset] = {}
+
+
+def add_scene_config(name: str, **kwargs) -> None:
+    assert name not in _SCENES, f"duplicate scene config: {name}"
+    _SCENES[name] = ScenePreset(name=name, **kwargs)
+
+
+def add_scene_config_variant(name: str, base: str, **kwargs) -> None:
+    assert name not in _SCENES, f"duplicate scene config: {name}"
+    _SCENES[name] = replace(deepcopy(_SCENES[base]), name=name, **kwargs)
+
+
+def get_scene_config(name: str) -> ScenePreset:
+    return deepcopy(_SCENES[name])
+
+
+def list_scene_configs() -> List[str]:
+    return sorted(_SCENES)
+
+
+# Procedural stand-ins matching the reference production scenes' envelopes
+# (scene_config.py:95-348): grid res, density scale, sensor counts.
+add_scene_config("tiny-cube", builder=cube_test_scene,
+                 builder_kwargs={"resx": 64, "resy": 64}, max_depth=16,
+                 max_density=20.0)
+add_scene_config("janga-smoke", builder=smoke_scene,
+                 builder_kwargs={"res": 128, "resx": 180, "resy": 155,
+                                 "n_sensors": 62, "density_scale": 20.0,
+                                 "seed": 1})
+add_scene_config("dust-devil", builder=smoke_scene,
+                 builder_kwargs={"res": 256, "resx": 155, "resy": 180,
+                                 "n_sensors": 63, "density_scale": 100.0,
+                                 "seed": 2})
+add_scene_config("astronaut-rotated", builder=smoke_scene,
+                 builder_kwargs={"res": 128, "resx": 120, "resy": 180,
+                                 "n_sensors": 64, "density_scale": 2.0,
+                                 "seed": 3})
+add_scene_config("rover", builder=smoke_scene,
+                 builder_kwargs={"res": 128, "resx": 215, "resy": 180,
+                                 "n_sensors": 61, "density_scale": 2.0,
+                                 "seed": 4})
+add_scene_config("tree-2", builder=smoke_scene,
+                 builder_kwargs={"res": 128, "resx": 144, "resy": 180,
+                                 "n_sensors": 64, "density_scale": 2.0,
+                                 "seed": 5})
+for _base in ("janga-smoke", "dust-devil", "astronaut-rotated", "rover",
+              "tree-2"):
+    add_scene_config_variant(f"{_base}-from-nerf", _base,
+                             warm_start_from=f"{_base}/nerf/params")

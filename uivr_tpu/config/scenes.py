@@ -70,6 +70,11 @@ def cube_test_scene(resx: int = 128, resy: int = 128,
     T[:3, 3] = [-0.5, -0.5, -0.5]
     cams = make_cameras(look_at([4.0, 4.0, 4.0], [0.0, -0.15, 0.0],
                                 [0.0, 1.0, 0.0]), 30.0, resx, resy)
+    start = MediumParams(
+        sigma_t=jnp.full_like(params.sigma_t, 0.04 / density_scale),
+        albedo=jnp.full_like(params.albedo, 0.6),
+        emission=jnp.full_like(params.emission, 0.1 / density_scale),
+    )
     return SceneBundle(
         params=params,
         medium_cfg=MediumConfig(majorant_factor=majorant_factor,
@@ -79,6 +84,7 @@ def cube_test_scene(resx: int = 128, resy: int = 128,
         to_world=T,
         film_size=(resx, resy),
         max_depth=max_depth,
+        start_from=start,
     )
 
 

@@ -101,6 +101,8 @@ def fork(s: Sampler, salt) -> Sampler:
     """Decorrelated sampler over the same lanes (Dr.Jit ``sampler.fork`` +
     ``seed``); used for the adjoint's alt stream so the primary sequence stays
     identical between primal and adjoint passes (PRB invariant)."""
+    if isinstance(salt, int):
+        salt = _U32(salt & 0xFFFFFFFF)
     new_seed, _ = tea(s.seed, jnp.asarray(salt).astype(_U32))
     return Sampler(seed=new_seed, dim=jnp.zeros((), _U32), lanes=s.lanes)
 

@@ -82,8 +82,8 @@ def sample_primal(cfg: NerfConfig, scene: Scene, o: jnp.ndarray,
         wsum = wsum + jnp.where(active, weight, 0.0)
         return result, thr, wsum, t_b
 
-    init = (jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    z1 = seg * 0.0  # input-derived zeros: shard_map-safe carry typing
+    init = (entry * 0.0, z1 + 1.0, z1, z1)
     result, thr, wsum, _ = jax.lax.fori_loop(0, steps, body, init)
 
     bg = scene.emitter.eval(d)
@@ -140,7 +140,9 @@ def sample_adjoint(cfg: NerfConfig, scene: Scene, o: jnp.ndarray,
         grads = scatter_sigma(grads, m, p, cot_sig * dact, active)
         return result, thr, t_b, grads
 
-    init = (jnp.asarray(state_in), jnp.ones((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32), grads)
+    z1 = seg * 0.0
+    grads = jax.tree_util.tree_map(
+        lambda g: g + jnp.sum(z1).astype(g.dtype), grads)
+    init = (jnp.asarray(state_in), z1 + 1.0, z1, grads)
     _, _, _, grads = jax.lax.fori_loop(0, steps, body, init)
     return grads, sampler

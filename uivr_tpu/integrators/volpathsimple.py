@@ -127,13 +127,14 @@ def _fresh_state(scene: Scene, o: jnp.ndarray, d: jnp.ndarray
     active = hit & (tf > tn)
     escaped = ~active
     entry = ol + tn[:, None] * dl
-    n = o.shape[0]
+    # carry initializers derived from inputs: keeps while_loop carry types
+    # consistent ("varying") under shard_map manual sharding
     state = PathState(
         active=active,
-        depth=jnp.zeros((n,), jnp.int32),
+        depth=(tn * 0).astype(jnp.int32),
         o_l=entry, d_l=dl, d_w=d,
         maxt=jnp.where(active, tf - tn, 0.0),
-        last_pdf=jnp.ones((n,), jnp.float32),
+        last_pdf=tn * 0 + 1.0,
     )
     return state, escaped
 
@@ -239,20 +240,21 @@ def sample_primal(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Sampler]:
     """Primal radiance estimate. With ``path_state``, resumes a detached
     mid-path ray (recursive DRT Li estimation, volpathsimple.py:60-67)."""
-    n = (o if path_state is None else path_state.o_l).shape[0]
     if path_state is None:
         _, sampler = next_1d(sampler)        # channel draw (parity with ref)
         st, escaped = _fresh_state(scene, o, d)
-        has_scattered = jnp.zeros((n,), bool)
+        has_scattered = jnp.logical_and(st.active, False)
     else:
-        st, escaped = path_state, jnp.zeros((n,), bool)
-        has_scattered = jnp.ones((n,), bool) & st.active
+        st = path_state
+        escaped = jnp.logical_and(st.active, False)
+        has_scattered = jnp.asarray(st.active)
     _, sampler = next_1d(sampler)            # alt-seed draw (parity)
 
+    zero3 = st.o_l * 0.0
     carry = _PrimalCarry(
         st=st, escaped=escaped,
-        throughput=jnp.ones((n, 3), jnp.float32),
-        result=jnp.zeros((n, 3), jnp.float32),
+        throughput=zero3 + 1.0,
+        result=zero3,
         has_scattered=has_scattered, sampler=sampler)
     carry = _primal_loop(cfg, scene, carry)
     result = _finish_primal(cfg, scene, carry)
@@ -277,12 +279,14 @@ class _Reservoir(NamedTuple):
     active: jnp.ndarray     # (n,)
 
 
-def _reservoir_init(n: int) -> _Reservoir:
-    z3 = jnp.zeros((n, 3), jnp.float32)
-    return _Reservoir(wsum=z3, cur_w=z3, depth=jnp.full((n,), -1, jnp.int32),
-                      o_l=z3, d_l=z3, d_w=z3,
-                      maxt=jnp.zeros((n,), jnp.float32),
-                      active=jnp.zeros((n,), bool))
+def _reservoir_init(ref3: jnp.ndarray) -> _Reservoir:
+    """``ref3``: any (n,3) input-derived array (for shard_map carry typing)."""
+    z3 = ref3 * 0.0
+    z1 = z3[:, 0]
+    return _Reservoir(wsum=z3, cur_w=z3,
+                      depth=z1.astype(jnp.int32) - 1,
+                      o_l=z3, d_l=z3, d_w=z3, maxt=z1,
+                      active=z1 > 1.0)
 
 
 def _reservoir_update(r: _Reservoir, weight, u, active, depth, o_l, d_l, d_w,
@@ -385,7 +389,6 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
     grads pytree and the advanced sampler.
     """
     m = scene.medium
-    n = o.shape[0]
     if grads is None:
         grads = zero_grads(m.params)
 
@@ -394,12 +397,16 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
     _, sampler = next_1d(sampler)            # alt-seed draw (parity)
     alt = fork(sampler, 0x9E3779B9)
 
+    zero3 = st.o_l * 0.0
+    # grads become shard-local partials under shard_map; mark varying
+    vz = jnp.sum(zero3[:, 0])
+    grads = jax.tree_util.tree_map(lambda g: g + vz.astype(g.dtype), grads)
     carry = _AdjointCarry(
         st=st, escaped=escaped,
-        throughput=jnp.ones((n, 3), jnp.float32),
+        throughput=zero3 + 1.0,
         result=jnp.asarray(state_in),
-        has_scattered=jnp.zeros((n,), bool),
-        sampler=sampler, alt=alt, res=_reservoir_init(n), grads=grads)
+        has_scattered=jnp.logical_and(st.active, False),
+        sampler=sampler, alt=alt, res=_reservoir_init(zero3), grads=grads)
 
     def cond(c):
         return jnp.any(c.st.active)

@@ -160,8 +160,23 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
     metrics_path = join(output_dir, "metrics.jsonl")
     metrics_f = open(metrics_path, "a")
 
+    preview_sensors = [0]
+    preview_settings = RenderSettings(
+        integrator=int_cfg, medium=bundle.medium_cfg,
+        film_size=bundle.film_size,
+        spp=opt.preview_spp or opt.spp, spp_grad=opt.spp)
+
+    def previews(params, tag):
+        for s in preview_sensors:
+            img = render_image(preview_settings, params, bundle.emitter,
+                               bundle.cameras, s, seed=1234,
+                               medium_to_world=bundle.to_world)
+            exr_io.write_exr(join(output_dir, f"opt_{tag}_{s:04d}.exr"), img)
+
     if opt.checkpoint_initial:
         save_checkpoint(join(output_dir, "params"), params, "initial")
+    if opt.render_initial:
+        previews(params, "init")
 
     t_start = time.time()
     for it in range(opt.n_iter):
@@ -195,9 +210,14 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
 
         if opt.checkpoint_stride and it > 0 and it % opt.checkpoint_stride == 0:
             save_checkpoint(join(output_dir, "params"), params, f"{it:08d}")
+        if opt.preview_stride and it > 0 and it % opt.preview_stride == 0 \
+                and opt.preview_stride <= opt.n_iter:
+            previews(params, f"{it:08d}")
 
     if opt.checkpoint_final:
         save_checkpoint(join(output_dir, "params"), params, "final")
+    if opt.render_final:
+        previews(params, "final")
     metrics_f.close()
     return params
 

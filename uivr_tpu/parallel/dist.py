@@ -66,7 +66,12 @@ def sharded_loss_and_grad(mesh: Mesh, render: Callable, loss: Callable,
                          local_seed, local_seed_grad)
             return loss(img, ref)
 
-        l, g = jax.value_and_grad(f)(params)
+        # Mark the replicated params "varying" so the custom-VJP cotangent
+        # (a per-shard partial gradient grid) type-checks under manual
+        # sharding; partials are then pmean-combined below.
+        params_v = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (axis,), to="varying"), params)
+        l, g = jax.value_and_grad(f)(params_v)
         l = jax.lax.pmean(l, axis)
         g = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), g)
         return l, g

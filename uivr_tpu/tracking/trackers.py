@@ -90,8 +90,10 @@ def free_flight(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
     ``t`` with pdf sigma_t(t)T(t); the rest escaped past ``maxt`` (with
     probability T(maxt)).  ``t`` is inf for escaped/inactive lanes.
     """
-    n = ol.shape[0]
-    t0 = jnp.zeros((n,), jnp.float32)
+    # Carry initializers are derived from the (possibly shard_map-varying)
+    # inputs so that while_loop carry types match under manual sharding.
+    t0 = maxt * 0.0
+    found0 = jnp.logical_and(jnp.asarray(active), False)
 
     def cond(c):
         searching, *_ = c
@@ -124,8 +126,7 @@ def free_flight(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
         searching = searching & (it < max_steps)
         return searching, t, found, smp, it + 1
 
-    init = (jnp.asarray(active), t0, jnp.zeros((n,), bool), sampler,
-            jnp.int32(0))
+    init = (jnp.asarray(active), t0, found0, sampler, jnp.int32(0))
     _, t, found, sampler, _ = jax.lax.while_loop(cond, body, init)
     t = jnp.where(found, t, jnp.inf)
     return t, found, sampler
@@ -186,8 +187,13 @@ def transmittance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
         walking = walking & (~done_now) & (tr > 0.0) & (it < max_steps)
         return walking, t, tr, smp, g, it + 1
 
-    g0 = grad_sigma if with_adj else jnp.zeros((), jnp.float32)
-    init = (jnp.asarray(active), jnp.zeros((n,), jnp.float32),
+    if with_adj:
+        # make the accumulator "varying" under shard_map (each shard holds a
+        # partial gradient grid, combined by pmean afterwards)
+        g0 = grad_sigma + jnp.sum(tmax * 0.0).astype(grad_sigma.dtype)
+    else:
+        g0 = jnp.zeros((), jnp.float32)
+    init = (jnp.asarray(active), tmax * 0.0,
             jnp.where(active, 1.0, 0.0).astype(jnp.float32), sampler, g0,
             jnp.int32(0))
     _, _, tr, sampler, g, _ = jax.lax.while_loop(cond, body, init)
@@ -244,10 +250,9 @@ def drt_distance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
         walking = walking & (~done_now) & (W > w_min) & (it < max_steps)
         return walking, t, W, wsum, t_sel, smp, it + 1
 
-    init = (jnp.asarray(active), jnp.zeros((n,), jnp.float32),
+    init = (jnp.asarray(active), maxt * 0.0,
             jnp.where(active, 1.0, 0.0).astype(jnp.float32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-            sampler, jnp.int32(0))
+            maxt * 0.0, maxt * 0.0, sampler, jnp.int32(0))
     _, _, _, wsum, t_sel, sampler, _ = jax.lax.while_loop(cond, body, init)
     found = jnp.asarray(active) & (wsum > 0.0)
     return t_sel, wsum, found, sampler
