@@ -144,14 +144,15 @@ def test_transmittance_adjoint_matches_fd():
     # volpathsimple.py:393-401): run the primal first, then replay with the
     # SAME sampler stream passing adjoint = dL * <full primal estimate>; the
     # in-loop tr/detach(tr) algebra divides back out the per-step factor.
-    tr0, _ = transmittance(make(base), ol, dl, maxt,
+    from uivr_tpu.scene.gradients import finalize_accum, init_accum
+    m0 = make(base)
+    tr0, _ = transmittance(m0, ol, dl, maxt,
                            make_sampler(7, n_lanes=n), act)
     adj = jnp.broadcast_to((tr0 / (3.0 * n))[:, None], (n, 3))
-    _, _, g_adj = transmittance(make(base), ol, dl, maxt,
-                                make_sampler(7, n_lanes=n), act,
-                                adjoint=adj,
-                                grad_sigma=jnp.zeros((res, res, res, 1)))
-    g_adj = np.asarray(g_adj)[..., 0]
+    _, _, acc = transmittance(m0, ol, dl, maxt,
+                              make_sampler(7, n_lanes=n), act,
+                              adjoint=adj, accum=init_accum(m0))
+    g_adj = np.asarray(finalize_accum(acc, m0).sigma_t)[..., 0]
 
     # FD with matched seed
     eps = 1e-2

@@ -68,7 +68,7 @@ add_int_config("volpathsimple-drt-quadratic",
                pretty_name="Differential Ratio Tracking (quadratic)",
                kind="volpath",
                params={"use_drt": True, "use_drt_subsampling": False,
-                       "use_drt_mis": True})
+                       "use_drt_mis": True, "engine": "nested"})
 add_int_config("volpathsimple-basic", pretty_name="Free-flight based",
                kind="volpath", params={"use_drt": False})
 add_int_config("nerf", pretty_name="NeRF (grid-backed)", kind="nerf",

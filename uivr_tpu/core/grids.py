@@ -91,6 +91,96 @@ def trilinear_scatter(grad_acc: jnp.ndarray, p: jnp.ndarray,
     return flat.reshape(grad_acc.shape)
 
 
+def build_corner_table(data: jnp.ndarray) -> jnp.ndarray:
+    """Cell-corner table for row-gather trilinear sampling.
+
+    TPU's XLA gather cost is dominated by the per-row count, not row width
+    (measured ~3x win): storing each interpolation cell's 8 corner values
+    contiguously turns a trilinear lookup (8 scattered element-gathers) into
+    ONE row gather of 8*C contiguous floats.
+
+    data (D,H,W,C) -> table ((D-1)(H-1)(W-1), 8*C); corner order matches
+    ``_corner_indices_weights`` (z-major: 000,001,010,011,100,101,110,111
+    in (z,y,x) bit order with x fastest).
+    """
+    D, H, W, C = data.shape
+    assert D > 1 and H > 1 and W > 1, "corner table needs >=2 nodes per axis"
+    corners = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corners.append(data[dz:dz + D - 1, dy:dy + H - 1,
+                                    dx:dx + W - 1, :])
+    # (D-1,H-1,W-1, 8, C) -> rows of 8*C
+    t = jnp.stack(corners, axis=3)
+    return t.reshape((D - 1) * (H - 1) * (W - 1), 8 * C)
+
+
+def _cell_index_weights(shape: Tuple[int, ...], p: jnp.ndarray):
+    """Cell row index (n,) and trilinear weights (n, 8) for the corner-table
+    layout; numerically identical to ``_corner_indices_weights``."""
+    D, H, W = int(shape[0]), int(shape[1]), int(shape[2])
+    res = jnp.array([W - 1, H - 1, D - 1], dtype=p.dtype)
+    x = jnp.clip(p, 0.0, 1.0) * res
+    i0 = jnp.clip(jnp.floor(x), 0, jnp.maximum(res - 1, 0)).astype(jnp.int32)
+    f = x - i0.astype(p.dtype)
+    f = jnp.where(res > 0, f, 0.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    cell = (i0[..., 2] * (H - 1) + i0[..., 1]) * (W - 1) + i0[..., 0]
+    w = jnp.stack([
+        gz * gy * gx, gz * gy * fx,
+        gz * fy * gx, gz * fy * fx,
+        fz * gy * gx, fz * gy * fx,
+        fz * fy * gx, fz * fy * fx,
+    ], axis=-1)
+    return cell, w
+
+
+def trilinear_sample_ct(table: jnp.ndarray, shape: Tuple[int, ...],
+                        p: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample via the corner table (one row gather per point).
+    ``shape`` is the ORIGINAL grid shape (D,H,W,C). Returns (n, C)."""
+    C = int(shape[3])
+    cell, w = _cell_index_weights(shape, p)
+    rows = table[cell]                                   # (n, 8*C)
+    vals = rows.reshape(rows.shape[:-1] + (8, C))
+    return jnp.sum(vals * w[..., None], axis=-2)
+
+
+def trilinear_scatter_ct(grad_table: jnp.ndarray, shape: Tuple[int, ...],
+                         p: jnp.ndarray, cot: jnp.ndarray,
+                         mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Corner-table analogue of :func:`trilinear_scatter`: accumulate
+    cotangents as ONE contiguous row scatter-add per point into a
+    ((D-1)(H-1)(W-1), 8*C) gradient table (fold back to grid shape with
+    :func:`fold_corner_table`)."""
+    C = int(shape[3])
+    cell, w = _cell_index_weights(shape, p.astype(grad_table.dtype))
+    if mask is not None:
+        w = w * mask.astype(w.dtype)[..., None]
+    contrib = (w[..., None] * cot[..., None, :]).reshape(
+        p.shape[:-1] + (8 * C,))
+    return grad_table.at[cell].add(contrib, mode="drop")
+
+
+def fold_corner_table(grad_table: jnp.ndarray,
+                      shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Fold a corner-table gradient accumulator back into grid shape: each
+    node sums the contributions from every cell it is a corner of."""
+    D, H, W, C = (int(s) for s in shape)
+    t = grad_table.reshape(D - 1, H - 1, W - 1, 8, C)
+    out = jnp.zeros((D, H, W, C), grad_table.dtype)
+    k = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out = out.at[dz:dz + D - 1, dy:dy + H - 1,
+                             dx:dx + W - 1, :].add(t[..., k, :])
+                k += 1
+    return out
+
+
 def build_majorant_grid(sigma: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Conservative coarse max-grid over a (D,H,W,1) density grid.
 

@@ -111,3 +111,52 @@ def clone(s: Sampler) -> Sampler:
     """Snapshot: a sampler that will replay the same upcoming sequence
     (Dr.Jit ``sampler.clone``). Being stateless, this is just a copy."""
     return Sampler(seed=s.seed, dim=s.dim, lanes=s.lanes)
+
+
+# ---------------------------------------------------------------------------
+# Per-lane-counter sampler for flattened (asynchronous) wavefront loops.
+#
+# In a flattened path-tracing loop, lanes progress through their own event
+# sequences asynchronously, so a wavefront-global draw counter cannot replay
+# a lane's sequence (the PRB/NEE-replay requirement).  ``LaneSampler`` keeps
+# a PRIVATE counter per lane: draws hash (h_lane, dim_lane) where h_lane is
+# a precomputed hash of (seed, lane).  Replay = snapshot/restore the lane's
+# counter.  Draw counters advance only for lanes that actually consume.
+# ---------------------------------------------------------------------------
+
+class LaneSampler(NamedTuple):
+    h: jnp.ndarray    # (n,) uint32 — hashed (seed, lane)
+    dim: jnp.ndarray  # (n,) uint32 — per-lane draw counter
+
+
+def make_lane_sampler(seed, n_lanes: int = None,
+                      lanes: jnp.ndarray = None) -> LaneSampler:
+    if lanes is None:
+        assert n_lanes is not None
+        lanes = jax.lax.broadcasted_iota(_U32, (n_lanes, 1), 0)[:, 0]
+    h0, h1 = tea(lanes.astype(_U32), jnp.asarray(seed).astype(_U32), rounds=6)
+    return LaneSampler(h=h0 ^ h1, dim=jnp.zeros_like(h0))
+
+
+def lane_next_1d(s: LaneSampler, consume: jnp.ndarray = None
+                 ) -> Tuple[jnp.ndarray, LaneSampler]:
+    """One uniform float per lane; advances counters of consuming lanes only
+    (``consume`` bool mask, default all)."""
+    bits, _ = tea(s.h, s.dim, rounds=8)
+    u = _to_unit_float(bits)
+    inc = _U32(1) if consume is None else consume.astype(_U32)
+    return u, s._replace(dim=(s.dim + inc).astype(_U32))
+
+
+def lane_next_2d(s: LaneSampler, consume: jnp.ndarray = None):
+    u0, s = lane_next_1d(s, consume)
+    u1, s = lane_next_1d(s, consume)
+    return jnp.stack([u0, u1], axis=-1), s
+
+
+def lane_fork(s: LaneSampler, salt) -> LaneSampler:
+    """Decorrelated per-lane stream (adjoint alt stream)."""
+    if isinstance(salt, int):
+        salt = _U32(salt & 0xFFFFFFFF)
+    h0, h1 = tea(s.h, jnp.asarray(salt).astype(_U32), rounds=6)
+    return LaneSampler(h=h0 ^ h1, dim=jnp.zeros_like(s.dim))

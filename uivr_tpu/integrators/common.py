@@ -1,17 +1,18 @@
-"""Shared integrator utilities: MIS weights and gradient scatter helpers.
+"""Shared integrator utilities: MIS weights and gradient accumulators.
 
-The gradient helpers implement the chain rule from the adjoint's cotangents
-on physical quantities (sigma_t, albedo, emission at a point) down to the
-voxel-grid parameters, replacing Dr.Jit's taped scatter-add AD (SURVEY.md
-N2): sigma_t = scale * trilinear(grid), albedo = trilinear(grid),
-emission = [scale *] trilinear(grid).
+The gradient machinery (GradAccum + scatter helpers) lives in
+scene/gradients.py (import-cycle avoidance); re-exported here for the
+integrators.  See that module for the chain-rule/layout rationale.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.grids import trilinear_scatter
-from ..scene.medium import Medium, MediumParams
+from ..scene.gradients import (  # noqa: F401
+    GradAccum, finalize_accum, init_accum, scatter_albedo, scatter_emission,
+    scatter_sigma,
+)
+from ..scene.medium import MediumParams
 
 
 def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
@@ -28,24 +29,3 @@ def zero_grads(params: MediumParams) -> MediumParams:
         albedo=jnp.zeros_like(params.albedo),
         emission=jnp.zeros_like(params.emission),
     )
-
-
-def scatter_sigma(grads: MediumParams, m: Medium, p: jnp.ndarray,
-                  cot_sigma: jnp.ndarray, mask: jnp.ndarray) -> MediumParams:
-    """Accumulate a cotangent on sigma_t(p) (n,) into the sigma grid."""
-    return grads._replace(sigma_t=trilinear_scatter(
-        grads.sigma_t, p, (cot_sigma * m.scale)[:, None], mask))
-
-
-def scatter_albedo(grads: MediumParams, m: Medium, p: jnp.ndarray,
-                   cot: jnp.ndarray, mask: jnp.ndarray) -> MediumParams:
-    """Accumulate a cotangent on albedo(p) (n, 3) into the albedo grid."""
-    return grads._replace(albedo=trilinear_scatter(grads.albedo, p, cot, mask))
-
-
-def scatter_emission(grads: MediumParams, m: Medium, p: jnp.ndarray,
-                     cot: jnp.ndarray, mask: jnp.ndarray,
-                     scaled: bool = True) -> MediumParams:
-    """Accumulate a cotangent on emission(p) (n, 3) into the emission grid."""
-    c = cot * m.scale if scaled else cot
-    return grads._replace(emission=trilinear_scatter(grads.emission, p, c, mask))

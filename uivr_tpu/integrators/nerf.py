@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..core.rng import Sampler, next_1d
 from ..scene.medium import (Medium, emission_at, intersect_bbox, sigma_t_at)
 from ..scene.scene import Scene
-from .common import scatter_emission, scatter_sigma, zero_grads
+from .common import finalize_accum, init_accum, scatter_emission, scatter_sigma
 
 
 @dataclass(frozen=True)
@@ -101,11 +101,10 @@ def sample_adjoint(cfg: NerfConfig, scene: Scene, o: jnp.ndarray,
     Must be called with a sampler that replays the primal's sequence (same
     seed) so the jitter matches — the PRB invariant."""
     m, active, entry, dl, seg, jit, sampler = _setup(scene, o, d, sampler)
-    n = o.shape[0]
     steps = cfg.queries_per_ray
     step = seg / (steps if cfg.jitter else steps - 1)
     if grads is None:
-        grads = zero_grads(m.params)
+        grads = init_accum(m, vary=jnp.sum(seg * 0.0))
 
     def body(j, c):
         result, thr, t_a, grads = c
@@ -141,8 +140,6 @@ def sample_adjoint(cfg: NerfConfig, scene: Scene, o: jnp.ndarray,
         return result, thr, t_b, grads
 
     z1 = seg * 0.0
-    grads = jax.tree_util.tree_map(
-        lambda g: g + jnp.sum(z1).astype(g.dtype), grads)
     init = (jnp.asarray(state_in), z1 + 1.0, z1, grads)
     _, _, _, grads = jax.lax.fori_loop(0, steps, body, init)
-    return grads, sampler
+    return finalize_accum(grads, m), sampler

@@ -1,0 +1,488 @@
+"""Flattened (megakernel) volumetric path tracer: one uniform tracking step
+per lane per iteration.
+
+TPU-first redesign of ``volpathsimple``: the reference's nested structure
+(path loop > free-flight loop, path loop > NEE ratio-tracking loop;
+volpathsimple.py:110-246,345-365,464-503) executes, per outer iteration, the
+MAX inner trip count over the whole wavefront — measured ~1000 sequential
+wavefront steps per render on production media.  Here every lane advances
+exactly ONE majorant-tracking step per iteration of a SINGLE ``while_loop``,
+switching between walk modes:
+
+    MAIN    — delta-track the camera/bounce ray to its next real collision
+    SHADOW  — ratio-track an NEE shadow ray (transmittance)
+    REPLAY  — (adjoint only) re-walk the shadow ray with the completed
+              contribution as adjoint, scattering transmittance gradients
+    DONE    — terminated
+
+Total iterations = max over lanes of the TOTAL per-lane event count — the
+optimum for a masked wavefront.  Scatter-event work (phase/NEE direction
+sampling, albedo lookups, gradient scatters) is masked arithmetic that runs
+every iteration; all table accesses use corner-table row gathers
+(core/grids.py) to respect TPU's per-row gather cost.
+
+RNG: per-lane draw counters (core/rng.py LaneSampler) — lanes consume
+asynchronously, and NEE replay restores a per-lane counter snapshot; this
+reproduces the Dr.Jit clone/fork semantics that PRB correctness requires
+(reference volpathsimple.py:99-108,380-403) under flattened control flow.
+
+The estimators are IDENTICAL to volpathsimple.py (same terms, same MIS, same
+DRT reservoir subsampling); only the event schedule differs, so primal
+images and expected gradients agree (tested against the nested engine and
+the quadrature oracle).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import aabb
+from ..core.rng import (LaneSampler, _to_unit_float, lane_fork, lane_next_1d,
+                        make_lane_sampler, make_sampler, next_1d, next_2d,
+                        sample_tea_32, tea)
+from ..scene.gradients import GradAccum, finalize_accum, init_accum
+from ..scene.medium import albedo_at, sigma_albedo_at, sigma_t_at
+from ..scene.phase import phase_eval, phase_sample
+from ..scene.scene import Scene
+from ..tracking import drt_distance
+from .common import mis_weight, scatter_albedo, scatter_sigma
+from ..scene.gradients import scatter_sigma_albedo
+from .volpathsimple import (PathState, VolpathConfig, _exit_dist, _nee_primal,
+                            _reservoir_get, _reservoir_init,
+                            _reservoir_update)
+
+DONE, MAIN, SHADOW, REPLAY = 0, 1, 2, 3
+_BIG = jnp.float32(1e30)
+
+
+def _cell_step(m, o_l, wd, wt):
+    """Supercell majorant + exit parameter at walk position wt (same math
+    as tracking/trackers._cell_exit, inlined for the fused loop)."""
+    Dc, Hc, Wc = m.majorant_grid.shape
+    res = jnp.array([Wc, Hc, Dc], jnp.float32)
+    eps = jnp.float32(1e-5) * (1.0 + jnp.abs(wt))
+    p = o_l + (wt + eps)[..., None] * wd
+    cell = jnp.clip(jnp.floor(jnp.clip(p, 0.0, 1.0 - 1e-7) * res), 0.0,
+                    res - 1.0)
+    sigma_maj = m.majorant_grid[cell[..., 2].astype(jnp.int32),
+                                cell[..., 1].astype(jnp.int32),
+                                cell[..., 0].astype(jnp.int32)]
+    lo = cell / res
+    hi = (cell + 1.0) / res
+    safe_d = jnp.where(jnp.abs(wd) < 1e-20,
+                       jnp.where(wd >= 0, 1e-20, -1e-20), wd)
+    t_hi = jnp.maximum((lo - o_l) / safe_d, (hi - o_l) / safe_d)
+    t_exit = jnp.minimum(jnp.minimum(t_hi[..., 0], t_hi[..., 1]),
+                         t_hi[..., 2])
+    return sigma_maj, jnp.maximum(t_exit, wt + eps)
+
+
+class _FlatCarry(NamedTuple):
+    mode: jnp.ndarray            # (n,) i32
+    o_l: jnp.ndarray             # (n,3) segment origin (local)
+    d_l: jnp.ndarray             # (n,3)
+    d_w: jnp.ndarray             # (n,3)
+    t: jnp.ndarray               # (n,) walk param along main segment
+    maxt: jnp.ndarray            # (n,)
+    depth: jnp.ndarray           # (n,) i32
+    throughput: jnp.ndarray      # (n,3)
+    result: jnp.ndarray          # (n,3)
+    escaped: jnp.ndarray         # (n,)
+    has_scattered: jnp.ndarray   # (n,)
+    last_pdf: jnp.ndarray        # (n,)
+    post_mode: jnp.ndarray       # (n,) i32 — mode to resume after shadow
+    sh_d: jnp.ndarray            # (n,3) shadow dir (local)
+    sh_t: jnp.ndarray            # (n,)
+    sh_tmax: jnp.ndarray         # (n,)
+    sh_tr: jnp.ndarray           # (n,)
+    sh_base: jnp.ndarray         # (n,3) contribution excluding transmittance
+    smp: LaneSampler
+    it: jnp.ndarray
+
+
+class _StepEvents(NamedTuple):
+    """Per-iteration event data the adjoint consumes."""
+    p: jnp.ndarray               # (n,3) candidate collision point
+    sig: jnp.ndarray             # (n,)
+    sigma_maj: jnp.ndarray       # (n,)
+    ratio: jnp.ndarray           # (n,)
+    collided: jnp.ndarray        # (n,)
+    fin_seg: jnp.ndarray         # (n,)
+    t_next: jnp.ndarray          # (n,)
+    t_cand: jnp.ndarray          # (n,)
+    real: jnp.ndarray            # (n,)
+    scat: jnp.ndarray            # (n,)
+    m_escape: jnp.ndarray        # (n,)
+    sh_done: jnp.ndarray         # (n,)
+    contrib: jnp.ndarray         # (n,3) completed NEE contribution
+    alb: jnp.ndarray             # (n,3)
+    thr_pre: jnp.ndarray         # (n,3) throughput BEFORE albedo
+    is_rp: jnp.ndarray           # (n,)
+
+
+def _init_carry(scene: Scene, o, d, smp: LaneSampler,
+                path_state: Optional[PathState]) -> _FlatCarry:
+    m = scene.medium
+    if path_state is None:
+        ol = aabb.transform_points(m.world_to_local, o)
+        dl = aabb.transform_dirs(m.world_to_local, d)
+        tn, tf, hit = aabb.ray_unit_cube(ol, dl, 0.0, aabb.INF)
+        active = hit & (tf > tn)
+        entry = ol + tn[:, None] * dl
+        st = PathState(active=active, depth=(tn * 0).astype(jnp.int32),
+                       o_l=entry, d_l=dl, d_w=d,
+                       maxt=jnp.where(active, tf - tn, 0.0),
+                       last_pdf=tn * 0 + 1.0)
+        escaped = ~active
+        has_scattered = jnp.logical_and(active, False)
+    else:
+        st = path_state
+        escaped = jnp.logical_and(st.active, False)
+        has_scattered = jnp.asarray(st.active)
+
+    z1 = st.maxt * 0.0
+    z3 = st.o_l * 0.0
+    return _FlatCarry(
+        mode=jnp.where(st.active, MAIN, DONE).astype(jnp.int32),
+        o_l=st.o_l, d_l=st.d_l, d_w=st.d_w, t=z1, maxt=st.maxt,
+        depth=st.depth, throughput=z3 + 1.0, result=z3,
+        escaped=escaped, has_scattered=has_scattered,
+        last_pdf=st.last_pdf,
+        post_mode=(st.depth * 0 + MAIN),
+        sh_d=z3, sh_t=z1, sh_tmax=z1, sh_tr=z1, sh_base=z3,
+        smp=smp, it=jnp.int32(0))
+
+
+def _flat_step(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
+               rp_dim=None, rp_t=None) -> Tuple[_FlatCarry, _StepEvents]:
+    """One fused tracking step for every lane.  In the adjoint, REPLAY lanes
+    walk with the restored counter ``rp_dim`` and position ``rp_t``; their
+    state updates are handled by the adjoint body.  Primal-side mode
+    transitions for SHADOW completion are NOT applied here in adjoint mode
+    (the body routes them through REPLAY)."""
+    m = scene.medium
+    is_adj = rp_dim is not None
+    mode = c.mode
+    is_main = mode == MAIN
+    is_sh = mode == SHADOW
+    is_rp = (mode == REPLAY) if is_adj else jnp.zeros_like(is_main)
+    walking = is_main | is_sh | is_rp
+
+    # --- current-walk ray parameters
+    wd = jnp.where(is_main[:, None], c.d_l, c.sh_d)
+    wt = jnp.where(is_main, c.t, c.sh_t)
+    wmax = jnp.where(is_main, c.maxt, c.sh_tmax)
+    if is_adj:
+        wt = jnp.where(is_rp, rp_t, wt)
+
+    sigma_maj, t_exit = _cell_step(m, c.o_l, wd, wt)
+
+    # --- draws: MAIN/SHADOW consume the primary stream; REPLAY re-reads the
+    # shadow walk's values from the restored counter
+    smp = c.smp
+    consume = is_main | is_sh
+    u_step, smp = lane_next_1d(smp, consume=consume)
+    u_evt, smp = lane_next_1d(smp, consume=consume)
+    if is_adj:
+        b1, _ = tea(smp.h, rp_dim, rounds=8)
+        b2, _ = tea(smp.h, rp_dim + jnp.uint32(1), rounds=8)
+        u_step = jnp.where(is_rp, _to_unit_float(b1), u_step)
+        u_evt = jnp.where(is_rp, _to_unit_float(b2), u_evt)
+
+    step = jnp.where(sigma_maj > 0.0,
+                     -jnp.log1p(-u_step) / jnp.maximum(sigma_maj, 1e-20),
+                     _BIG)
+    t_cand = wt + step
+    bound = jnp.minimum(t_exit, wmax)
+    collided = walking & (t_cand < bound)
+    fin_seg = walking & (~collided) & (t_exit >= wmax)
+    crossed = walking & (~collided) & (t_exit < wmax)
+    t_next = jnp.where(collided, t_cand, jnp.where(crossed, t_exit, wt))
+
+    p = c.o_l + t_cand[:, None] * wd
+    sig, alb = sigma_albedo_at(m, p)   # one fused row gather
+    r = jnp.where(sigma_maj > 0.0, sig / jnp.maximum(sigma_maj, 1e-20), 0.0)
+    ratio = jnp.maximum(1.0 - r, 0.0)
+
+    # ================= SHADOW walk (primal transmittance) =================
+    sh_coll = is_sh & collided
+    sh_tr = jnp.where(sh_coll, c.sh_tr * ratio, c.sh_tr)
+    sh_t = jnp.where(is_sh, t_next, c.sh_t)
+    sh_done = is_sh & (fin_seg | (sh_tr <= 0.0))
+    contrib = c.sh_base * sh_tr[:, None]
+    result = c.result
+    if not is_adj:
+        result = result + jnp.where(sh_done[:, None], contrib, 0.0)
+        mode = jnp.where(sh_done, c.post_mode, mode)
+
+    # ================= MAIN walk ==========================================
+    real = is_main & collided & (u_evt < r)
+    m_escape = is_main & fin_seg
+    t = jnp.where(is_main, t_next, c.t)
+    escaped = c.escaped | m_escape
+    mode = jnp.where(m_escape, DONE, mode)
+
+    thr_pre = c.throughput
+    throughput = jnp.where(real[:, None], c.throughput * alb, c.throughput)
+    depth = jnp.where(real, c.depth + 1, c.depth)
+    die_depth = real & (depth >= cfg.max_depth)
+    mode = jnp.where(die_depth, DONE, mode)
+    scat = real & ~die_depth
+
+    # --- phase sampling for the continuation direction
+    u_p1, smp = lane_next_1d(smp, consume=scat)
+    u_p2, smp = lane_next_1d(smp, consume=scat)
+    wo_w, ph_pdf = phase_sample(m.phase_g, c.d_w, u_p1, u_p2)
+    d_w = jnp.where(scat[:, None], wo_w, c.d_w)
+    d_l_new = aabb.transform_dirs(m.world_to_local, wo_w)
+    d_l = jnp.where(scat[:, None], d_l_new, c.d_l)
+    last_pdf = jnp.where(scat, ph_pdf, c.last_pdf)
+    has_scattered = c.has_scattered | scat
+
+    o_l = jnp.where(scat[:, None], p, c.o_l)
+    cont_maxt = _exit_dist(o_l, d_l)
+    maxt = jnp.where(scat, cont_maxt, c.maxt)
+    t = jnp.where(scat, 0.0, t)
+    acc_escape = scat & (cont_maxt <= 1e-7)
+    resume_mode = jnp.where(acc_escape, DONE, MAIN)
+
+    # --- NEE setup (direction sampling; the walk happens on later iters)
+    if cfg.use_nee:
+        u_e1, smp = lane_next_1d(smp, consume=scat)
+        u_e2, smp = lane_next_1d(smp, consume=scat)
+        ds_d, ds_pdf, em_w = scene.emitter.sample_direction(
+            jnp.stack([u_e1, u_e2], -1))
+        nee_ok = scat & (ds_pdf > 0.0)
+        phv = phase_eval(m.phase_g, c.d_w, ds_d)   # incident dir pre-update
+        wmis = mis_weight(ds_pdf, phv)
+        sh_d_new = aabb.transform_dirs(m.world_to_local, ds_d)
+        sh_tmax_new = _exit_dist(o_l, sh_d_new)
+        base_new = throughput * (phv * wmis)[:, None] * em_w
+
+        sh_d = jnp.where(nee_ok[:, None], sh_d_new, c.sh_d)
+        sh_tmax = jnp.where(nee_ok, sh_tmax_new, c.sh_tmax)
+        sh_base = jnp.where(nee_ok[:, None], base_new, c.sh_base)
+        sh_t = jnp.where(nee_ok, 0.0, sh_t)
+        sh_tr = jnp.where(nee_ok, 1.0, sh_tr)
+        post_mode = jnp.where(scat, resume_mode, c.post_mode)
+        mode = jnp.where(nee_ok, SHADOW,
+                         jnp.where(scat & ~nee_ok, resume_mode, mode))
+    else:
+        sh_d, sh_tmax, sh_base, post_mode = (c.sh_d, c.sh_tmax, c.sh_base,
+                                             c.post_mode)
+        mode = jnp.where(scat, resume_mode, mode)
+
+    out = _FlatCarry(
+        mode=mode, o_l=o_l, d_l=d_l, d_w=d_w, t=t, maxt=maxt, depth=depth,
+        throughput=throughput, result=result, escaped=escaped,
+        has_scattered=has_scattered, last_pdf=last_pdf, post_mode=post_mode,
+        sh_d=sh_d, sh_t=sh_t, sh_tmax=sh_tmax, sh_tr=sh_tr, sh_base=sh_base,
+        smp=smp, it=c.it + 1)
+    ev = _StepEvents(p=p, sig=sig, sigma_maj=sigma_maj, ratio=ratio,
+                     collided=collided, fin_seg=fin_seg, t_next=t_next,
+                     t_cand=t_cand, real=real, scat=scat, m_escape=m_escape,
+                     sh_done=sh_done, contrib=contrib, alb=alb,
+                     thr_pre=thr_pre, is_rp=is_rp)
+    return out, ev
+
+
+def _finish(cfg: VolpathConfig, scene: Scene, c: _FlatCarry) -> jnp.ndarray:
+    """Envmap contribution on escape with NEE MIS (volpathsimple.py:262-288)."""
+    active_e = c.escaped
+    if cfg.hide_emitters:
+        active_e = active_e & ~(c.depth <= 0)
+    if cfg.use_nee:
+        epdf = scene.emitter.pdf_direction(c.d_w)
+        epdf = jnp.where(c.has_scattered, epdf, 0.0)
+        w = mis_weight(c.last_pdf, epdf)[:, None]
+    else:
+        w = 1.0
+    contrib = c.throughput * w * scene.emitter.eval(c.d_w)
+    return c.result + jnp.where(active_e[:, None], contrib, 0.0)
+
+
+def sample_primal(cfg: VolpathConfig, scene: Scene, o, d, seed,
+                  path_state: Optional[PathState] = None,
+                  max_iters: int = 100_000):
+    """Flat primal estimate. Returns (L (n,3), escaped)."""
+    n = (o if path_state is None else path_state.o_l).shape[0]
+    smp = make_lane_sampler(seed, n_lanes=n)
+    carry = _init_carry(scene, o, d, smp, path_state)
+
+    def cond(c: _FlatCarry):
+        return jnp.any(c.mode != DONE) & (c.it < max_iters)
+
+    def body(c: _FlatCarry) -> _FlatCarry:
+        return _flat_step(cfg, scene, c)[0]
+
+    carry = jax.lax.while_loop(cond, body, carry)
+    return _finish(cfg, scene, carry), carry.escaped
+
+
+# ---------------------------------------------------------------------------
+# Adjoint
+# ---------------------------------------------------------------------------
+
+class _FlatAdjCarry(NamedTuple):
+    c: _FlatCarry
+    alt: LaneSampler
+    acc: GradAccum
+    rp_dim: jnp.ndarray      # (n,) u32 replay counter
+    rp_t: jnp.ndarray        # (n,)
+    rp_tr: jnp.ndarray       # (n,)
+    sh_dim0: jnp.ndarray     # (n,) u32 counter snapshot at shadow-walk start
+    sh_adj: jnp.ndarray      # (n,3) dL * completed NEE contribution
+    res: object              # _Reservoir
+
+
+def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
+                   state_in, max_iters: int = 100_000):
+    """Flat path-replay adjoint (same estimator set and algebra as
+    volpathsimple.sample_adjoint). Returns MediumParams gradients."""
+    m = scene.medium
+    n = o.shape[0]
+    smp = make_lane_sampler(seed, n_lanes=n)
+    carry = _init_carry(scene, o, d, smp, None)
+    carry = carry._replace(result=jnp.asarray(state_in))
+    z1 = carry.maxt * 0.0
+    zu = z1.astype(jnp.uint32)
+    ac = _FlatAdjCarry(
+        c=carry, alt=lane_fork(smp, 0x9E3779B9),
+        acc=init_accum(m, vary=jnp.sum(z1)),
+        rp_dim=zu, rp_t=z1, rp_tr=z1, sh_dim0=zu,
+        sh_adj=carry.o_l * 0.0, res=_reservoir_init(carry.o_l * 0.0))
+
+    def cond(a: _FlatAdjCarry):
+        return jnp.any(a.c.mode != DONE) & (a.c.it < max_iters)
+
+    def body(a: _FlatAdjCarry) -> _FlatAdjCarry:
+        c = a.c
+        out, ev = _flat_step(cfg, scene, c, rp_dim=a.rp_dim, rp_t=a.rp_t)
+        acc, alt = a.acc, a.alt
+        p, sig, alb = ev.p, ev.sig, ev.alb
+
+        # ---- free-flight/MIS in-scattering gradients (volpathsimple.py:152-171)
+        if (not cfg.use_drt) or cfg.use_drt_mis:
+            if cfg.use_drt and cfg.use_drt_mis:
+                wf = sig / (1.0 + sig * sig)     # mis_w * 1/sigma_t, stable
+            else:
+                wf = 1.0 / jnp.maximum(sig, 1e-8)
+            Li = c.result / jnp.maximum(alb, 1e-8)
+            base = dL * Li * wf[:, None]
+            acc = scatter_sigma_albedo(acc, m, p,
+                                       jnp.sum(base * alb, -1),
+                                       base * sig[:, None], ev.real)
+
+        # ---- DRT reservoir update (subsampling; volpathsimple.py:507-539).
+        # In-scattering gradients apply along every traversed SEGMENT,
+        # including escape segments (reference passes the pre-collision
+        # active mask at volpathsimple.py:147-149).
+        res = a.res
+        seg_end = ev.real | ev.m_escape
+        if cfg.use_drt:
+            if cfg.use_drt_subsampling:
+                u_res, alt = lane_next_1d(alt, consume=seg_end)
+                res = _reservoir_update(
+                    res, jax.lax.stop_gradient(ev.thr_pre), u_res, seg_end,
+                    c.depth, c.o_l, c.d_l, c.d_w, c.maxt)
+            # (quadratic DRT variant is only provided by the nested engine)
+
+        # ---- transmittance gradients (volpathsimple.py:181-189,584-607)
+        interval = jnp.where(ev.m_escape, c.maxt, ev.t_cand)
+        adj_w = jnp.sum(dL * c.result, axis=-1)
+        inv_pdf = interval / cfg.trans_grad_samples
+        for _ in range(cfg.trans_grad_samples):
+            u_t, alt = lane_next_1d(alt, consume=seg_end)
+            p_s = c.o_l + (u_t * interval)[:, None] * c.d_l
+            acc = scatter_sigma(acc, m, p_s, -adj_w * inv_pdf, seg_end)
+
+        # ---- shadow walk completed: PRB subtract + schedule REPLAY
+        mode = out.mode
+        result = out.result - jnp.where(ev.sh_done[:, None], ev.contrib, 0.0)
+        sh_adj = jnp.where(ev.sh_done[:, None], dL * ev.contrib, a.sh_adj)
+        rp_dim = jnp.where(ev.sh_done, a.sh_dim0, a.rp_dim)
+        rp_t = a.rp_t
+        rp_tr = a.rp_tr
+        rp_t = jnp.where(ev.sh_done, 0.0, rp_t)
+        rp_tr = jnp.where(ev.sh_done, 1.0, rp_tr)
+        mode = jnp.where(ev.sh_done, REPLAY, mode)
+
+        # ---- REPLAY walk updates: scatter -sum(adj)/sigma_n per collision
+        is_rp = ev.is_rp
+        rp_coll = is_rp & ev.collided
+        sigma_n = jnp.maximum(ev.sigma_maj - sig, 1e-8)
+        cot = -jnp.sum(a.sh_adj, axis=-1) / sigma_n
+        acc = scatter_sigma(acc, m, p, cot, rp_coll & (ev.ratio > 0.0))
+        rp_tr = jnp.where(rp_coll, rp_tr * ev.ratio, rp_tr)
+        rp_t = jnp.where(is_rp, ev.t_next, rp_t)
+        rp_dim = jnp.where(is_rp, rp_dim + jnp.uint32(2), rp_dim)
+        rp_fin = is_rp & (ev.fin_seg | (rp_tr <= 0.0))
+        mode = jnp.where(rp_fin, c.post_mode, mode)
+
+        # ---- snapshot the primary counter at shadow-walk start
+        sh_dim0 = jnp.where(ev.scat, out.smp.dim, a.sh_dim0)
+
+        out = out._replace(mode=mode, result=result)
+        return _FlatAdjCarry(c=out, alt=alt, acc=acc, rp_dim=rp_dim,
+                             rp_t=rp_t, rp_tr=rp_tr, sh_dim0=sh_dim0,
+                             sh_adj=sh_adj, res=res)
+
+    ac = jax.lax.while_loop(cond, body, ac)
+
+    # ---- delayed DRT on reservoir vertices (volpathsimple.py:248-259)
+    if cfg.use_drt and cfg.use_drt_subsampling:
+        res = ac.res
+        w_sub = _reservoir_get(res)
+        adjoint = w_sub * dL
+        acc = _drt_backward_flat(cfg, scene, seed, res, adjoint, ac.acc)
+        ac = ac._replace(acc=acc)
+    return finalize_accum(ac.acc, m)
+
+
+def _drt_backward_flat(cfg: VolpathConfig, scene: Scene, seed, res, adjoint,
+                       acc: GradAccum) -> GradAccum:
+    """Delayed DRT: transmittance-proportional distance + recursive FLAT
+    primal Li + sigma/albedo cotangents (volpathsimple.py:507-581).  This
+    phase is wavefront-synchronized, so the global-counter Sampler is used
+    for its auxiliary draws."""
+    m = scene.medium
+    n = res.o_l.shape[0]
+    drt_seed, _ = sample_tea_32(jnp.asarray(seed, jnp.uint32), 0x5151)
+    gs = make_sampler(drt_seed, n_lanes=n)
+
+    t_sub, w_drt, found, gs = drt_distance(
+        m, res.o_l, res.d_l, res.maxt, gs, res.active,
+        max_steps=cfg.max_steps)
+    active = res.active & found
+    t_safe = jnp.where(found, t_sub, 0.0)
+    p = res.o_l + t_safe[:, None] * res.d_l
+
+    Li = jnp.zeros_like(adjoint)
+    if cfg.use_nee:
+        nee, _, gs = _nee_primal(cfg, scene, p, res.d_w,
+                                 jnp.ones_like(adjoint), gs, active)
+        Li = Li + nee
+    u1, gs = next_1d(gs)
+    u2, gs = next_2d(gs)
+    wo, ph_pdf = phase_sample(m.phase_g, res.d_w, u1, u2[:, 1])
+    rec_dl = aabb.transform_dirs(m.world_to_local, wo)
+    rec_maxt = _exit_dist(p, rec_dl)
+    next_depth = jnp.where(active, res.depth + 1, res.depth)
+    ps = PathState(
+        active=active & (next_depth < cfg.max_depth) & (rec_maxt > 1e-7),
+        depth=next_depth, o_l=p, d_l=rec_dl, d_w=wo, maxt=rec_maxt,
+        last_pdf=jnp.where(active, ph_pdf, 1.0))
+    rec_seed, _ = sample_tea_32(jnp.asarray(seed, jnp.uint32), 0x7177)
+    rec_Li, _ = sample_primal(cfg, scene, None, None, rec_seed,
+                              path_state=ps)
+    Li = Li + rec_Li
+
+    sig = sigma_t_at(m, p)
+    w_mis = 1.0 / (1.0 + sig * sig) if cfg.use_drt_mis else jnp.ones_like(sig)
+    alb = albedo_at(m, p)
+    factor = (w_mis * w_drt)[:, None] * adjoint * Li
+    acc = scatter_sigma(acc, m, p, jnp.sum(factor * alb, -1), active)
+    acc = scatter_albedo(acc, m, p, factor * sig[:, None], active)
+    return acc

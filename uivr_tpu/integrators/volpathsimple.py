@@ -43,7 +43,8 @@ from ..scene.medium import Medium, albedo_at, sigma_t_at
 from ..scene.phase import phase_eval, phase_sample
 from ..scene.scene import Scene
 from ..tracking import drt_distance, free_flight, transmittance
-from .common import mis_weight, scatter_albedo, scatter_sigma, zero_grads
+from .common import (GradAccum, finalize_accum, init_accum, mis_weight,
+                     scatter_albedo, scatter_sigma)
 
 
 @dataclass(frozen=True)
@@ -57,6 +58,9 @@ class VolpathConfig:
     hide_emitters: bool = False
     max_steps: int = 4096         # tracking-loop trip bound
     trans_grad_samples: int = 4   # volpathsimple.py:584 n_samples
+    # 'flat' = single fused state-machine loop (volpath_flat.py, TPU-fast);
+    # 'nested' = reference-structured loops (reference semantics baseline).
+    engine: str = "flat"
 
 
 class PathState(NamedTuple):
@@ -106,10 +110,10 @@ def _nee_adjoint_replay(cfg: VolpathConfig, scene: Scene, p, shadow_info,
     dln, tmax, active_e = shadow_info
     # consume the direction draw identically to the primal call
     _, nee_sampler = next_2d(nee_sampler)
-    _, _, g = transmittance(m, p, dln, tmax, nee_sampler, active_e,
-                            max_steps=cfg.max_steps, adjoint=adjoint,
-                            grad_sigma=grads.sigma_t)
-    return grads._replace(sigma_t=g)
+    _, _, grads = transmittance(m, p, dln, tmax, nee_sampler, active_e,
+                                max_steps=cfg.max_steps, adjoint=adjoint,
+                                accum=grads)
+    return grads
 
 
 # --------------------------------------------------------------------------
@@ -376,7 +380,7 @@ class _AdjointCarry(NamedTuple):
     sampler: Sampler
     alt: Sampler
     res: _Reservoir
-    grads: object  # MediumParams pytree
+    grads: object  # GradAccum pytree
 
 
 def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
@@ -389,8 +393,6 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
     grads pytree and the advanced sampler.
     """
     m = scene.medium
-    if grads is None:
-        grads = zero_grads(m.params)
 
     _, sampler = next_1d(sampler)            # channel draw (parity)
     st, escaped = _fresh_state(scene, o, d)
@@ -398,9 +400,9 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
     alt = fork(sampler, 0x9E3779B9)
 
     zero3 = st.o_l * 0.0
-    # grads become shard-local partials under shard_map; mark varying
-    vz = jnp.sum(zero3[:, 0])
-    grads = jax.tree_util.tree_map(lambda g: g + vz.astype(g.dtype), grads)
+    # accumulators become shard-local partials under shard_map; mark varying
+    if grads is None:
+        grads = init_accum(m, vary=jnp.sum(zero3[:, 0]))
     carry = _AdjointCarry(
         st=st, escaped=escaped,
         throughput=zero3 + 1.0,
@@ -437,18 +439,23 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
         alb = jnp.where(did_scatter[:, None], albedo_at(m, p), 1.0)
         sig = sigma_t_at(m, p)
 
-        # --- Scattering gradients (volpathsimple.py:139-172)
+        # --- Scattering gradients (volpathsimple.py:139-172).
+        # DRT estimates the in-scattering gradient along the whole traversed
+        # SEGMENT, so it applies on escape segments too (the reference calls
+        # backpropagate_scattering_drt with the pre-collision `active` mask,
+        # volpathsimple.py:147-149).
+        seg_lanes = did_scatter | did_escape
         if cfg.use_drt:
             adjoint = dL * throughput
             if cfg.use_drt_subsampling:
                 u_res, alt = next_1d(alt)
                 res = _reservoir_update(res, jax.lax.stop_gradient(throughput),
-                                        u_res, did_scatter, st.depth,
+                                        u_res, seg_lanes, st.depth,
                                         st.o_l, st.d_l, st.d_w, st.maxt)
             else:
                 grads, alt = _drt_backward(
                     cfg, scene, alt, st.o_l, st.d_l, st.d_w, st.maxt,
-                    st.depth, adjoint, did_scatter, grads)
+                    st.depth, adjoint, seg_lanes, grads)
         if (not cfg.use_drt) or cfg.use_drt_mis:
             if cfg.use_drt and cfg.use_drt_mis:
                 # combined MIS weight * 1/sigma_t = sigma_t/(1+sigma_t^2)
@@ -523,4 +530,4 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
                                  res.active, carry.grads)
         carry = carry._replace(grads=grads)
 
-    return carry.grads, carry.sampler
+    return finalize_accum(carry.grads, m), carry.sampler

@@ -33,6 +33,7 @@ import numpy as np
 
 from ..core.rng import make_sampler, next_2d, sample_tea_32
 from ..integrators import nerf as nerf_mod
+from ..integrators import volpath_flat as vflat_mod
 from ..integrators import volpathsimple as vps_mod
 from ..integrators.nerf import NerfConfig
 from ..integrators.volpathsimple import VolpathConfig
@@ -85,17 +86,26 @@ class RenderSettings:
     spp_grad: int
 
 
-def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, sampler):
+def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, seed):
     if isinstance(cfg, NerfConfig):
-        return nerf_mod.sample_primal(cfg, scene, o, d, sampler)
-    return vps_mod.sample_primal(cfg, scene, o, d, sampler)
+        return nerf_mod.sample_primal(cfg, scene, o, d,
+                                      make_sampler(seed, n_lanes=o.shape[0]))[:2]
+    if cfg.engine == "flat":
+        return vflat_mod.sample_primal(cfg, scene, o, d, seed)
+    L, valid, _ = vps_mod.sample_primal(
+        cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]))
+    return L, valid
 
 
-def _dispatch_adjoint(cfg: IntegratorConfig, scene, o, d, sampler, dL, L):
+def _dispatch_adjoint(cfg: IntegratorConfig, scene, o, d, seed, dL, L):
     if isinstance(cfg, NerfConfig):
-        g, _ = nerf_mod.sample_adjoint(cfg, scene, o, d, sampler, dL, L)
+        g, _ = nerf_mod.sample_adjoint(
+            cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]), dL, L)
         return g
-    g, _ = vps_mod.sample_adjoint(cfg, scene, o, d, sampler, dL, L)
+    if cfg.engine == "flat":
+        return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L)
+    g, _ = vps_mod.sample_adjoint(
+        cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]), dL, L)
     return g
 
 
@@ -122,8 +132,7 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         sub_seed, _ = sample_tea_32(seed, 22)
         o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
                             st.spp, sub_seed)
-        sampler = make_sampler(seed, n_lanes=o.shape[0])
-        L, valid, _ = _dispatch_primal(st.integrator, scene, o, d, sampler)
+        L, valid = _dispatch_primal(st.integrator, scene, o, d, seed)
         B = sensor_idx.shape[0]
         return L.reshape(B, st.spp, 3).mean(axis=1)
 
@@ -152,10 +161,8 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         dL = g_img[rep] / spp_g
 
         # (1) detached primal replay, (2) adjoint pass — same stream
-        sampler = make_sampler(seed_grad, n_lanes=o.shape[0])
-        L, _, _ = _dispatch_primal(st.integrator, scene, o, d, sampler)
-        sampler = make_sampler(seed_grad, n_lanes=o.shape[0])
-        grads = _dispatch_adjoint(st.integrator, scene, o, d, sampler, dL, L)
+        L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_grad)
+        grads = _dispatch_adjoint(st.integrator, scene, o, d, seed_grad, dL, L)
 
         zero_em = jax.tree_util.tree_map(jnp.zeros_like, emitter)
         zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cameras)
@@ -193,8 +200,7 @@ def render_image(settings: RenderSettings, params: MediumParams,
         sub_seed, _ = sample_tea_32(seed_, 22)
         sidx = jnp.full((pixels.shape[0],), sensor, jnp.int32)
         o, d = _expand_rays(sc.cameras, sidx, pixels, st.film_size, spp, sub_seed)
-        sampler = make_sampler(seed_, n_lanes=o.shape[0])
-        L, _, _ = _dispatch_primal(st.integrator, sc, o, d, sampler)
+        L, _ = _dispatch_primal(st.integrator, sc, o, d, seed_)
         return L.reshape(pixels.shape[0], spp, 3).mean(axis=1)
 
     out = np.zeros((n_pix, 3), np.float32)

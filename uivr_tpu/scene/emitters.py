@@ -47,17 +47,26 @@ class ConstantEmitter(NamedTuple):
 
 
 class EnvmapEmitter(NamedTuple):
-    """Lat-long environment map with 2D CDF importance sampling.
+    """Lat-long environment map with alias-table importance sampling.
 
     Mapping (y-up world): v = theta/pi with theta = angle from +y,
     u = atan2(d.z, d.x) / 2pi (wrapped).  ``to_world`` rotates emitter-local
     directions into world space.
+
+    Sampling uses the Walker alias method over the flattened (H*W) texel
+    distribution: O(1) — two table reads + one radiance read — instead of a
+    log(H)+log(W) binary search; critical inside flattened tracking loops
+    where emitter sampling runs every wavefront iteration.  ``pdf_direction``
+    keeps the pmf tables for MIS queries.
     """
     data: jnp.ndarray       # (H, W, 3)
-    row_cdf: jnp.ndarray    # (H,)   inclusive cdf over rows (sin-weighted)
-    cond_cdf: jnp.ndarray   # (H, W) inclusive cdf within each row
     row_pmf: jnp.ndarray    # (H,)
     cond_pmf: jnp.ndarray   # (H, W)
+    # fused per-texel sampling table: ONE row gather per sample
+    # [alias_p, alias_idx(float), pmf_self, pmf_alias] (H*W, 4)
+    alias_tab: jnp.ndarray
+    # radiance with pre-divided pdf-free values per texel (H*W, 3) = data rows
+    flat_data: jnp.ndarray
     to_world: jnp.ndarray   # (3, 3)
 
     # ---- direction <-> uv ------------------------------------------------
@@ -109,72 +118,82 @@ class EnvmapEmitter(NamedTuple):
 
     def sample_direction(self, u2: jnp.ndarray
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Importance-sample a direction; returns (d, pdf, radiance/pdf)."""
+        """Importance-sample a direction via the alias table; returns
+        (d, pdf, radiance/pdf). Three table reads per lane."""
         H, W, _ = self.data.shape
-        row = jnp.clip(jnp.searchsorted(self.row_cdf, u2[:, 0], side="right"),
-                       0, H - 1)
-        # continuous offset within the row bin
-        lo = jnp.where(row > 0, self.row_cdf[row - 1], 0.0)
-        dv = jnp.where(self.row_pmf[row] > 0,
-                       (u2[:, 0] - lo) / jnp.maximum(self.row_pmf[row], 1e-20), 0.5)
-        v = (row.astype(u2.dtype) + jnp.clip(dv, 0.0, 1.0)) / H
-
-        # vectorized per-row searchsorted via comparison counting would be
-        # O(W) per lane; vmap of searchsorted keeps the log(W) binary search.
-        cdf_rows = self.cond_cdf[row]                  # (n, W) gather
-        col = jnp.clip(_rowwise_searchsorted(cdf_rows, u2[:, 1]), 0, W - 1)
-        pmf_c = jnp.take_along_axis(self.cond_pmf[row], col[:, None], 1)[:, 0]
-        lo_c = jnp.where(col > 0,
-                         jnp.take_along_axis(cdf_rows, jnp.maximum(col - 1, 0)[:, None], 1)[:, 0],
-                         0.0)
-        du = jnp.where(pmf_c > 0, (u2[:, 1] - lo_c) / jnp.maximum(pmf_c, 1e-20), 0.5)
-        u = (col.astype(u2.dtype) + jnp.clip(du, 0.0, 1.0)) / W
+        N = H * W
+        scaled = u2[:, 0] * N
+        slot = jnp.clip(scaled.astype(jnp.int32), 0, N - 1)
+        frac = scaled - slot.astype(u2.dtype)
+        tab = self.alias_tab[slot]                 # one row gather
+        a_p, a_idx, pmf_self, pmf_alias = (tab[:, 0], tab[:, 1], tab[:, 2],
+                                           tab[:, 3])
+        keep = frac < a_p
+        texel = jnp.where(keep, slot, a_idx.astype(jnp.int32))
+        pmf = jnp.where(keep, pmf_self, pmf_alias)
+        row = texel // W
+        col = texel - row * W
+        # uniform position within the chosen texel
+        u = (col.astype(u2.dtype) + u2[:, 1]) / W
+        # reuse the sub-texel fraction for v jitter (decorrelated via alias)
+        dv = jnp.where(keep, frac / jnp.maximum(a_p, 1e-20),
+                       (frac - a_p) / jnp.maximum(1.0 - a_p, 1e-20))
+        v = (row.astype(u2.dtype) + jnp.clip(dv, 0.0, 1.0 - 1e-6)) / H
 
         uv = jnp.stack([u, v], axis=-1)
         d = self._uv_to_dir(uv)
         sin_theta = jnp.sin(jnp.clip(v, 1e-4, 1 - 1e-4) * jnp.pi)
-        pdf = (self.row_pmf[row] * H * pmf_c * W) / (2.0 * jnp.pi * jnp.pi * sin_theta)
-        val = self.data[row, col]
-        weight = jnp.where(pdf[:, None] > 0, val / jnp.maximum(pdf, 1e-20)[:, None], 0.0)
+        pdf = (pmf * N) / (2.0 * jnp.pi * jnp.pi * sin_theta)
+        val = self.flat_data[texel]                # one row gather
+        weight = jnp.where(pdf[:, None] > 0,
+                           val / jnp.maximum(pdf, 1e-20)[:, None], 0.0)
         return d, pdf, weight
 
 
-def _rowwise_searchsorted(cdf_rows: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Binary search of u[i] in cdf_rows[i, :] (right side), vectorized."""
-    n, W = cdf_rows.shape
-    lo = jnp.zeros((n,), jnp.int32)
-    hi = jnp.full((n,), W, jnp.int32)
-    steps = int(np.ceil(np.log2(max(W, 2)))) + 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        val = jnp.take_along_axis(cdf_rows, jnp.clip(mid, 0, W - 1)[:, None], 1)[:, 0]
-        go_right = val <= u
-        lo = jnp.where(go_right, jnp.minimum(mid + 1, hi), lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
+def _build_alias(pmf: np.ndarray):
+    """Walker/Vose alias table for a pmf (host-side, O(N))."""
+    N = pmf.size
+    scaled = pmf * N
+    alias = np.arange(N, dtype=np.int32)
+    prob = np.ones(N, dtype=np.float32)
+    small = [i for i in range(N) if scaled[i] < 1.0]
+    large = [i for i in range(N) if scaled[i] >= 1.0]
+    scaled = scaled.copy()
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in large + small:
+        prob[i] = 1.0
+    return alias, prob
 
 
 def make_envmap(data: np.ndarray, to_world: np.ndarray = None) -> EnvmapEmitter:
-    """Build CDF tables for a (H, W, 3) radiance map."""
+    """Build pmf + alias tables for a (H, W, 3) radiance map."""
     data = np.asarray(data, np.float32)
     H, W, _ = data.shape
     lum = data @ np.array([0.2126, 0.7152, 0.0722], np.float32)
     sin_theta = np.sin((np.arange(H) + 0.5) / H * np.pi).astype(np.float32)
     w = np.maximum(lum, 0.0) * sin_theta[:, None] + 1e-12
     row_w = w.sum(axis=1)
-    row_pmf = row_w / row_w.sum()
-    row_cdf = np.cumsum(row_pmf)
-    row_cdf[-1] = 1.0
-    cond_pmf = w / row_w[:, None]
-    cond_cdf = np.cumsum(cond_pmf, axis=1)
-    cond_cdf[:, -1] = 1.0
+    row_pmf = (row_w / row_w.sum()).astype(np.float32)
+    cond_pmf = (w / row_w[:, None]).astype(np.float32)
+    texel_pmf = (row_pmf[:, None] * cond_pmf).reshape(-1).astype(np.float64)
+    texel_pmf /= texel_pmf.sum()
+    alias, prob = _build_alias(texel_pmf)
+    tp32 = texel_pmf.astype(np.float32)
+    alias_tab = np.stack([prob, alias.astype(np.float32), tp32, tp32[alias]],
+                         axis=-1).astype(np.float32)
     if to_world is None:
         to_world = np.eye(3, dtype=np.float32)
     return EnvmapEmitter(
         data=jnp.asarray(data),
-        row_cdf=jnp.asarray(row_cdf.astype(np.float32)),
-        cond_cdf=jnp.asarray(cond_cdf.astype(np.float32)),
-        row_pmf=jnp.asarray(row_pmf.astype(np.float32)),
-        cond_pmf=jnp.asarray(cond_pmf.astype(np.float32)),
+        row_pmf=jnp.asarray(row_pmf),
+        cond_pmf=jnp.asarray(cond_pmf),
+        alias_tab=jnp.asarray(alias_tab),
+        flat_data=jnp.asarray(data.reshape(-1, 3)),
         to_world=jnp.asarray(np.asarray(to_world, np.float32)),
     )

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import aabb
-from ..core.grids import build_majorant_grid, trilinear_sample
+from ..core.grids import (build_corner_table, build_majorant_grid,
+                          trilinear_sample, trilinear_sample_ct)
 
 
 class MediumParams(NamedTuple):
@@ -41,6 +42,10 @@ class MediumConfig:
     scale: float = 1.0              # sigma_t = scale * grid (Mitsuba `scale`)
     emission_scaled: bool = True    # emission = scale * grid (branch behavior)
     phase_g: float = 0.0            # HG anisotropy; 0 = isotropic
+    # Corner tables trade 8x grid memory for ~3x faster lookups on TPU
+    # (gather cost is per-row); auto-disabled above this voxel count.
+    corner_tables: bool = True
+    corner_table_max_voxels: int = 160 ** 3
 
 
 class Medium(NamedTuple):
@@ -50,6 +55,13 @@ class Medium(NamedTuple):
     world_to_local: jnp.ndarray  # (4, 4)
     majorant_grid: jnp.ndarray   # (Dc, Hc, Wc) — conservative sigma_t bounds
     phase_g: jnp.ndarray         # () f32
+    # Optional corner tables for row-gather trilinear sampling (None = off).
+    sigma_ct: object = None      # ((D-1)(H-1)(W-1), 8)
+    albedo_ct: object = None     # (..., 24)
+    emission_ct: object = None   # (..., 24)
+    # Interleaved [sigma, albedo_rgb] x 8 rows: one row gather yields both
+    # quantities in the fused tracking loop.
+    combined_ct: object = None   # (..., 32)
 
 
 def _effective_factor(requested: int, shape: Tuple[int, ...]) -> int:
@@ -89,6 +101,9 @@ def finalize_medium(params: MediumParams, cfg: MediumConfig,
         maj = build_majorant_grid(sig, f)
     maj = maj * jnp.float32(cfg.scale)
 
+    D, H, W, _ = params.sigma_t.shape
+    use_ct = (cfg.corner_tables and min(D, H, W) > 1
+              and D * H * W <= cfg.corner_table_max_voxels)
     return Medium(
         params=params,
         scale=jnp.float32(cfg.scale),
@@ -96,6 +111,12 @@ def finalize_medium(params: MediumParams, cfg: MediumConfig,
         world_to_local=inv,
         majorant_grid=maj,
         phase_g=jnp.float32(cfg.phase_g),
+        sigma_ct=build_corner_table(params.sigma_t) if use_ct else None,
+        albedo_ct=build_corner_table(params.albedo) if use_ct else None,
+        emission_ct=build_corner_table(params.emission) if use_ct else None,
+        combined_ct=build_corner_table(
+            jnp.concatenate([params.sigma_t, params.albedo], axis=-1))
+        if use_ct else None,
     )
 
 
@@ -104,18 +125,37 @@ def finalize_medium(params: MediumParams, cfg: MediumConfig,
 
 def sigma_t_at(m: Medium, p: jnp.ndarray) -> jnp.ndarray:
     """(n,) extinction at local points (n, 3)."""
-    return trilinear_sample(m.params.sigma_t, p)[..., 0] * m.scale
+    if m.sigma_ct is not None:
+        v = trilinear_sample_ct(m.sigma_ct, m.params.sigma_t.shape, p)
+    else:
+        v = trilinear_sample(m.params.sigma_t, p)
+    return v[..., 0] * m.scale
 
 
 def albedo_at(m: Medium, p: jnp.ndarray) -> jnp.ndarray:
     """(n, 3) single-scattering albedo."""
+    if m.albedo_ct is not None:
+        return trilinear_sample_ct(m.albedo_ct, m.params.albedo.shape, p)
     return trilinear_sample(m.params.albedo, p)
 
 
 def emission_at(m: Medium, p: jnp.ndarray, scaled: bool = True) -> jnp.ndarray:
     """(n, 3) emission radiance."""
-    e = trilinear_sample(m.params.emission, p)
+    if m.emission_ct is not None:
+        e = trilinear_sample_ct(m.emission_ct, m.params.emission.shape, p)
+    else:
+        e = trilinear_sample(m.params.emission, p)
     return e * m.scale if scaled else e
+
+
+def sigma_albedo_at(m: Medium, p: jnp.ndarray):
+    """(sigma (n,), albedo (n,3)) — ONE row gather in corner-table mode."""
+    if m.combined_ct is not None:
+        from ..core.grids import trilinear_sample_ct
+        D, H, W, _ = m.params.sigma_t.shape
+        v = trilinear_sample_ct(m.combined_ct, (D, H, W, 4), p)
+        return v[..., 0] * m.scale, v[..., 1:]
+    return sigma_t_at(m, p), albedo_at(m, p)
 
 
 def to_local_rays(m: Medium, o: jnp.ndarray, d: jnp.ndarray

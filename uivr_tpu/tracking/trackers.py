@@ -42,8 +42,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.grids import trilinear_scatter
 from ..core.rng import Sampler, next_1d
+from ..scene.gradients import GradAccum, scatter_sigma
 from ..scene.medium import Medium, majorant_at, sigma_t_at
 
 _BIG = jnp.float32(1e30)
@@ -136,7 +136,7 @@ def transmittance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
                   tmax: jnp.ndarray, sampler: Sampler, active: jnp.ndarray,
                   max_steps: int = 4096,
                   adjoint: Optional[jnp.ndarray] = None,
-                  grad_sigma: Optional[jnp.ndarray] = None):
+                  accum: Optional[GradAccum] = None):
     """Ratio-tracking transmittance over [0, tmax] along local rays.
 
     Primal: returns ``(Tr (n,), sampler)``; Tr == 1 where no medium is
@@ -144,14 +144,13 @@ def transmittance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
     volpathsimple.py:459).
 
     Adjoint (``adjoint`` (n, 3) given): additionally scatter-adds the
-    transmittance gradient into ``grad_sigma`` (grid-shaped accumulator) and
-    returns ``(Tr, sampler, grad_sigma)``.  Derivation: each ratio-tracking
-    factor tr = sigma_n/sigma_maj contributes
-    d tr / tr = -d sigma_t / sigma_n, so the per-collision cotangent on
-    sigma_t(p) is -sum_c adjoint_c / sigma_n (reference
-    volpathsimple.py:483-492 via ``backward_from(adjoint*tr/detach(tr))``).
+    transmittance gradient into ``accum`` (a GradAccum) and returns
+    ``(Tr, sampler, accum)``.  Derivation: each ratio-tracking factor
+    tr = sigma_n/sigma_maj contributes d tr / tr = -d sigma_t / sigma_n, so
+    the per-collision cotangent on sigma_t(p) is -sum_c adjoint_c / sigma_n
+    (reference volpathsimple.py:483-492 via
+    ``backward_from(adjoint*tr/detach(tr))``).
     """
-    n = ol.shape[0]
     with_adj = adjoint is not None
 
     def cond(c):
@@ -176,23 +175,16 @@ def transmittance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
 
         if with_adj:
             sigma_n = jnp.maximum(sigma_maj - sig, 1e-8)
+            # scatter_sigma applies the sigma_t = scale*grid chain factor
             cot = -jnp.sum(adjoint, axis=-1) / sigma_n
-            # chain through sigma_t = scale * trilinear(grid)
-            g = trilinear_scatter(
-                g, p, (cot * m.scale)[:, None],
-                mask=collided & (ratio > 0.0))
+            g = scatter_sigma(g, m, p, cot, mask=collided & (ratio > 0.0))
 
         tr = jnp.where(collided, tr * ratio, tr)
         t = jnp.where(collided, t_cand, jnp.where(crossed, t_exit, t))
         walking = walking & (~done_now) & (tr > 0.0) & (it < max_steps)
         return walking, t, tr, smp, g, it + 1
 
-    if with_adj:
-        # make the accumulator "varying" under shard_map (each shard holds a
-        # partial gradient grid, combined by pmean afterwards)
-        g0 = grad_sigma + jnp.sum(tmax * 0.0).astype(grad_sigma.dtype)
-    else:
-        g0 = jnp.zeros((), jnp.float32)
+    g0 = accum if with_adj else jnp.zeros((), jnp.float32)
     init = (jnp.asarray(active), tmax * 0.0,
             jnp.where(active, 1.0, 0.0).astype(jnp.float32), sampler, g0,
             jnp.int32(0))
