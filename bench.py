@@ -33,12 +33,12 @@ def main():
     spp_grad = 4
     primal_factor = 16
     spp = spp_grad * primal_factor   # 64 primal spp
-    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
     res = int(os.environ.get("BENCH_GRID", 64))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     bundle = smoke_scene(res=res, resx=128, resy=128, n_sensors=16)
-    cfg = VolpathConfig(max_depth=32, max_steps=2048)
+    cfg = VolpathConfig(max_depth=32, max_steps=2048, engine="flat")
     settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
                               film_size=bundle.film_size, spp=spp,
                               spp_grad=spp_grad)
