@@ -38,6 +38,13 @@ def _chlist(names) -> bytes:
 
 def _zip_predict(data: bytes) -> bytes:
     """EXR pre-compression reorder: interleave split + delta encode."""
+    try:
+        from .. import native
+        out = native.exr_zip_predict(data)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     arr = np.frombuffer(data, dtype=np.uint8)
     half = (len(arr) + 1) // 2
     re = np.empty_like(arr)
@@ -49,6 +56,13 @@ def _zip_predict(data: bytes) -> bytes:
 
 
 def _zip_unpredict(data: bytes) -> bytes:
+    try:
+        from .. import native
+        out = native.exr_zip_unpredict(data)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     arr[1:] -= 128
     rec = np.cumsum(arr) & 0xFF

@@ -8,3 +8,4 @@ from .schedule import (  # noqa: F401
     Schedule, enforce_valid_params, initial_resolution, learning_rates,
     upsample_iterations, upsample_params,
 )
+from .checkpoint import load_state, save_state  # noqa: F401

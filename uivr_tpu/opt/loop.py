@@ -35,6 +35,7 @@ from ..render.batched import (RenderSettings, make_render, render_image,
                               sample_batch_pixels)
 from ..scene.medium import MediumParams
 from . import losses as losses_mod
+from .checkpoint import load_state, save_state
 from .optimizer import adam_init, adam_step, reset_state_like, sgd_step
 from .schedule import (Schedule, enforce_valid_params, initial_resolution,
                        learning_rates, upsample_iterations, upsample_params)
@@ -121,8 +122,15 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
                      bundle: SceneBundle, int_cfg, ref_images=None,
                      ref_spp: int = 512, mesh=None,
                      start_params: Optional[MediumParams] = None,
+                     resume: bool = True,
                      verbose: bool = True) -> MediumParams:
-    """Main optimization loop. Returns the optimized grids."""
+    """Main optimization loop. Returns the optimized grids.
+
+    With ``resume=True`` (default), a full-state checkpoint
+    (params + Adam moments + iteration; opt/checkpoint.py) is written at
+    every checkpoint stride and the run continues from it if present — a
+    capability the reference lacks (its checkpoints are write-only grids,
+    SURVEY.md §5)."""
     os.makedirs(output_dir, exist_ok=True)
     spp_grad = opt.spp
     spp_primal = opt.spp * opt.primal_spp_factor
@@ -154,6 +162,15 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
             for g in params])
 
     opt_state = adam_init(params)
+    start_it = 0
+    state_path = join(output_dir, "state")
+    if resume:
+        restored = load_state(state_path)
+        if restored is not None:
+            params, opt_state, start_it = restored
+            start_it += 1
+            if verbose:
+                print(f"[i] Resumed from iteration {start_it - 1}")
     step_fn = _make_step(opt, settings, bundle, mesh)
 
     n_sensors = bundle.cameras.n_sensors
@@ -179,7 +196,7 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
         previews(params, "init")
 
     t_start = time.time()
-    for it in range(opt.n_iter):
+    for it in range(start_it, opt.n_iter):
         seed, _ = sample_tea_32(2 * it + 0, opt.base_seed)
         seed_grad, _ = sample_tea_32(2 * it + 1, opt.base_seed)
 
@@ -210,6 +227,7 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
 
         if opt.checkpoint_stride and it > 0 and it % opt.checkpoint_stride == 0:
             save_checkpoint(join(output_dir, "params"), params, f"{it:08d}")
+            save_state(state_path, params, opt_state, it)
         if opt.preview_stride and it > 0 and it % opt.preview_stride == 0 \
                 and opt.preview_stride <= opt.n_iter:
             previews(params, f"{it:08d}")

@@ -151,7 +151,12 @@ class EnvmapEmitter(NamedTuple):
 
 
 def _build_alias(pmf: np.ndarray):
-    """Walker/Vose alias table for a pmf (host-side, O(N))."""
+    """Walker/Vose alias table for a pmf (host-side, O(N)); uses the native
+    C++ kernel when available (uivr_tpu/native), else pure Python."""
+    from .. import native
+    nat = native.build_alias_table(pmf)
+    if nat is not None:
+        return nat
     N = pmf.size
     scaled = pmf * N
     alias = np.arange(N, dtype=np.int32)
