@@ -1,4 +1,7 @@
-from .scenes import SceneBundle, cube_test_scene, smoke_scene, procedural_sky  # noqa: F401
+from .scenes import (  # noqa: F401
+    SceneBundle, cube_test_scene, procedural_sky, scene_from_files,
+    smoke_scene,
+)
 from .registry import (  # noqa: F401
     IntegratorPreset, ScenePreset, add_int_config, add_scene_config,
     add_scene_config_variant, get_int_config, get_scene_config,

@@ -148,6 +148,58 @@ def smoke_scene(res: int = 64, resx: int = 128, resy: int = 128,
     )
 
 
+def scene_from_files(sigma_vol: str, albedo_vol: str, emission_vol: str,
+                     envmap_exr: Optional[str] = None,
+                     resx: int = 720, resy: int = 620, n_sensors: int = 64,
+                     density_scale: float = 1.0, majorant_factor: int = 8,
+                     to_world: Optional[np.ndarray] = None) -> SceneBundle:
+    """Load a scene from Mitsuba-format assets — the paper's published
+    ``.vol`` volumes + HDR/EXR environment maps (reference scenes use
+    ``medium_filename``/``envmap_filename`` XML vars,
+    scene_config.py:99-113). This is the interop path for running the
+    original reconstructions once the assets are downloaded."""
+    from ..core.exr_io import read_exr
+    from ..core.vol_io import read_vol
+
+    sigma, bbox = read_vol(sigma_vol)
+    albedo, _ = read_vol(albedo_vol)
+    emission, _ = read_vol(emission_vol)
+    if albedo.shape[-1] == 1:
+        albedo = np.repeat(albedo, 3, axis=-1)
+    if emission.shape[-1] == 1:
+        emission = np.repeat(emission, 3, axis=-1)
+    params = MediumParams(sigma_t=jnp.asarray(sigma),
+                          albedo=jnp.asarray(albedo),
+                          emission=jnp.asarray(emission))
+    if to_world is None:
+        # map the .vol bbox onto the world
+        T = np.eye(4, dtype=np.float32)
+        T[0, 0] = bbox[3] - bbox[0]
+        T[1, 1] = bbox[4] - bbox[1]
+        T[2, 2] = bbox[5] - bbox[2]
+        T[:3, 3] = bbox[:3]
+        to_world = T
+    emitter = (make_envmap(read_exr(envmap_exr)) if envmap_exr
+               else ConstantEmitter(radiance=jnp.ones(3)))
+    center = to_world[:3, 3] + 0.5 * np.diag(to_world[:3, :3])
+    radius = 2.2 * float(np.abs(np.diag(to_world[:3, :3])).max())
+    cams = orbit_cameras(n_sensors, radius=radius, target=tuple(center),
+                         elevation_deg=15.0, fov_x_deg=40.0,
+                         resx=resx, resy=resy)
+    start = MediumParams(
+        sigma_t=jnp.full_like(params.sigma_t, 0.04 / density_scale),
+        albedo=jnp.full_like(params.albedo, 0.6),
+        emission=jnp.full_like(params.emission, 0.1 / density_scale),
+    )
+    return SceneBundle(
+        params=params,
+        medium_cfg=MediumConfig(majorant_factor=majorant_factor,
+                                scale=density_scale),
+        emitter=emitter, cameras=cams, to_world=np.asarray(to_world),
+        film_size=(resx, resy), start_from=start,
+    )
+
+
 def procedural_sky(h: int = 64, w: int = 128) -> np.ndarray:
     """Simple analytic sky + sun HDR environment."""
     v = (np.arange(h) + 0.5) / h
