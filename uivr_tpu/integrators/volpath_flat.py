@@ -231,6 +231,20 @@ def _flat_step(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
     mode = jnp.where(die_depth, DONE, mode)
     scat = real & ~die_depth
 
+    # Russian roulette at scatter vertices past rr_depth (reference
+    # volpathsimple.py:116-121; disabled by default via rr_depth >
+    # max_depth). Unbiased: survivors divide throughput by q. The adjoint
+    # replays the identical decisions via the shared primary stream.
+    u_rr, smp = lane_next_1d(smp, consume=real)
+    perform_rr = scat & (depth > cfg.rr_depth)
+    q = jnp.minimum(jnp.max(throughput, axis=-1), 0.99)
+    rr_dead = perform_rr & (u_rr >= q)
+    throughput = jnp.where(perform_rr[:, None],
+                           throughput / jnp.maximum(q, 1e-8)[:, None],
+                           throughput)
+    mode = jnp.where(rr_dead, DONE, mode)
+    scat = scat & ~rr_dead
+
     # --- phase sampling for the continuation direction
     u_p1, smp = lane_next_1d(smp, consume=scat)
     u_p2, smp = lane_next_1d(smp, consume=scat)
@@ -305,8 +319,8 @@ def _finish(cfg: VolpathConfig, scene: Scene, c: _FlatCarry) -> jnp.ndarray:
 
 def sample_primal(cfg: VolpathConfig, scene: Scene, o, d, seed,
                   path_state: Optional[PathState] = None,
-                  max_iters: int = 100_000):
-    """Flat primal estimate. Returns (L (n,3), escaped)."""
+                  max_iters: int = 100_000, return_stats: bool = False):
+    """Flat primal estimate. Returns (L (n,3), escaped)[, stats dict]."""
     n = (o if path_state is None else path_state.o_l).shape[0]
     smp = make_lane_sampler(seed, n_lanes=n)
     carry = _init_carry(scene, o, d, smp, path_state)
@@ -318,7 +332,159 @@ def sample_primal(cfg: VolpathConfig, scene: Scene, o, d, seed,
         return _flat_step(cfg, scene, c)[0]
 
     carry = jax.lax.while_loop(cond, body, carry)
-    return _finish(cfg, scene, carry), carry.escaped
+    L = _finish(cfg, scene, carry)
+    if return_stats:
+        # per-lane consumed-draw counters ~ 2x events; loop trip count
+        stats = {"iters": carry.it, "lane_dims": carry.smp.dim,
+                 "depth": carry.depth}
+        return L, carry.escaped, stats
+    return L, carry.escaped
+
+
+# ---------------------------------------------------------------------------
+# Compaction rounds: shrink the wavefront as lanes terminate.
+#
+# Measured on production media: mean ~30 events/lane but max ~800, so a
+# single full-width while_loop wastes ~96% of the wavefront on the
+# divergence tail.  Rounds of `block_iters` steps with host-side compaction
+# into progressively smaller buffers (shrink factor until `min_size`) bring
+# the cost from O(n * max_events) toward O(sum events).  Lane independence
+# (per-lane RNG counters) makes compaction exact: results are identical to
+# the single-loop engine realization.
+# ---------------------------------------------------------------------------
+
+def _carry_take(c: _FlatCarry, idx: jnp.ndarray) -> _FlatCarry:
+    """Gather the per-lane state of `idx` lanes (it counter kept)."""
+    def take(x):
+        return x[idx]
+    return _FlatCarry(
+        mode=take(c.mode), o_l=take(c.o_l), d_l=take(c.d_l), d_w=take(c.d_w),
+        t=take(c.t), maxt=take(c.maxt), depth=take(c.depth),
+        throughput=take(c.throughput), result=take(c.result),
+        escaped=take(c.escaped), has_scattered=take(c.has_scattered),
+        last_pdf=take(c.last_pdf), post_mode=take(c.post_mode),
+        sh_d=take(c.sh_d), sh_t=take(c.sh_t), sh_tmax=take(c.sh_tmax),
+        sh_tr=take(c.sh_tr), sh_base=take(c.sh_base),
+        smp=LaneSampler(h=take(c.smp.h), dim=take(c.smp.dim)), it=c.it)
+
+
+def _carry_put(full: _FlatCarry, sub: _FlatCarry,
+               idx: jnp.ndarray) -> _FlatCarry:
+    """Scatter the per-lane state of `sub` back into `full` at `idx`."""
+    def put(f, s):
+        return f.at[idx].set(s)
+    return _FlatCarry(
+        mode=put(full.mode, sub.mode), o_l=put(full.o_l, sub.o_l),
+        d_l=put(full.d_l, sub.d_l), d_w=put(full.d_w, sub.d_w),
+        t=put(full.t, sub.t), maxt=put(full.maxt, sub.maxt),
+        depth=put(full.depth, sub.depth),
+        throughput=put(full.throughput, sub.throughput),
+        result=put(full.result, sub.result),
+        escaped=put(full.escaped, sub.escaped),
+        has_scattered=put(full.has_scattered, sub.has_scattered),
+        last_pdf=put(full.last_pdf, sub.last_pdf),
+        post_mode=put(full.post_mode, sub.post_mode),
+        sh_d=put(full.sh_d, sub.sh_d), sh_t=put(full.sh_t, sub.sh_t),
+        sh_tmax=put(full.sh_tmax, sub.sh_tmax),
+        sh_tr=put(full.sh_tr, sub.sh_tr),
+        sh_base=put(full.sh_base, sub.sh_base),
+        smp=LaneSampler(h=put(full.smp.h, sub.smp.h),
+                        dim=put(full.smp.dim, sub.smp.dim)),
+        it=sub.it)
+
+
+def _run_rounds(step_body, take_fn, put_fn, active_of, full,
+                schedule, n):
+    """In-graph compaction driver: run `block_iters` fused steps at full
+    width, then for each (size, iters) stage gather the most-active lanes
+    into a `size`-wide buffer and continue there; any overflow lanes (rare:
+    actives exceeded the stage capacity) finish in a final full-width loop,
+    which costs one cond check when empty.  Static shapes throughout ->
+    jittable inside the render op."""
+    first_iters, stages = schedule[0], schedule[1:]
+
+    def bounded(c, iters):
+        it0 = c.it
+
+        def cond(cc):
+            return jnp.any(active_of(cc)) & (cc.it - it0 < iters)
+        return jax.lax.while_loop(cond, step_body, c)
+
+    full = bounded(full, first_iters)
+    for size, iters in stages:
+        if size >= n:
+            full = bounded(full, iters)
+            continue
+        order = jnp.argsort(~active_of(full))
+        idx = order[:size]
+        sub = take_fn(full, idx)
+        if iters is None:
+            def cond(cc):
+                return jnp.any(active_of(cc))
+            sub = jax.lax.while_loop(cond, step_body, sub)
+        else:
+            sub = bounded(sub, iters)
+        full = put_fn(full, sub, idx)
+
+    def cond(cc):
+        return jnp.any(active_of(cc))
+    return jax.lax.while_loop(cond, step_body, full)
+
+
+def _adj_take(a: "_FlatAdjCarry", idx: jnp.ndarray) -> "_FlatAdjCarry":
+    """Per-lane gather for the adjoint carry; the gradient accumulator and
+    iteration counter are global and pass through untouched."""
+    return _FlatAdjCarry(
+        c=_carry_take(a.c, idx),
+        alt=LaneSampler(h=a.alt.h[idx], dim=a.alt.dim[idx]),
+        acc=a.acc,
+        rp_dim=a.rp_dim[idx], rp_t=a.rp_t[idx], rp_tr=a.rp_tr[idx],
+        sh_dim0=a.sh_dim0[idx], sh_adj=a.sh_adj[idx], dL=a.dL[idx],
+        res=type(a.res)(*[f[idx] for f in a.res]))
+
+
+def _adj_put(full: "_FlatAdjCarry", sub: "_FlatAdjCarry",
+             idx: jnp.ndarray) -> "_FlatAdjCarry":
+    return _FlatAdjCarry(
+        c=_carry_put(full.c, sub.c, idx),
+        alt=LaneSampler(h=full.alt.h.at[idx].set(sub.alt.h),
+                        dim=full.alt.dim.at[idx].set(sub.alt.dim)),
+        acc=sub.acc,   # threaded: the sub rounds kept accumulating
+        rp_dim=full.rp_dim.at[idx].set(sub.rp_dim),
+        rp_t=full.rp_t.at[idx].set(sub.rp_t),
+        rp_tr=full.rp_tr.at[idx].set(sub.rp_tr),
+        sh_dim0=full.sh_dim0.at[idx].set(sub.sh_dim0),
+        sh_adj=full.sh_adj.at[idx].set(sub.sh_adj),
+        dL=full.dL.at[idx].set(sub.dL),
+        res=type(full.res)(*[f.at[idx].set(g)
+                             for f, g in zip(full.res, sub.res)]))
+
+
+def sample_primal_compact(cfg: VolpathConfig, scene: Scene, o, d, seed,
+                          schedule=(96, None, None)):
+    """Flat primal with in-graph compaction rounds (see note above).
+
+    ``schedule``: (first_iters, (size1, iters1), ..., ) — sizes default to
+    n/8 and n/64 when given as None placeholders.  Fully jittable; results
+    are bit-identical to :func:`sample_primal` (lane independence).
+    """
+    # below ~32k lanes gather cost is overhead-dominated, so deeper
+    # compaction stages stop paying off; default = one n/8 stage (unbounded)
+    n = o.shape[0]
+    sched = [schedule[0]]
+    defaults = [(max(n // 8, 8192), 256), (max(n // 32, 8192), None)]
+    for i, st in enumerate(schedule[1:]):
+        sched.append(st if st is not None else
+                     defaults[i] if i < len(defaults) else (n, None))
+    smp = make_lane_sampler(seed, n_lanes=n)
+    full = _init_carry(scene, o, d, smp, None)
+
+    def step_body(c):
+        return _flat_step(cfg, scene, c)[0]
+
+    full = _run_rounds(step_body, _carry_take, _carry_put,
+                       lambda c: c.mode != DONE, full, sched, n)
+    return _finish(cfg, scene, full), full.escaped
 
 
 # ---------------------------------------------------------------------------
@@ -334,13 +500,20 @@ class _FlatAdjCarry(NamedTuple):
     rp_tr: jnp.ndarray       # (n,)
     sh_dim0: jnp.ndarray     # (n,) u32 counter snapshot at shadow-walk start
     sh_adj: jnp.ndarray      # (n,3) dL * completed NEE contribution
+    dL: jnp.ndarray          # (n,3) per-lane adjoint radiance
     res: object              # _Reservoir
+
+    @property
+    def it(self):
+        return self.c.it
 
 
 def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
-                   state_in, max_iters: int = 100_000):
+                   state_in, max_iters: int = 100_000, schedule=None):
     """Flat path-replay adjoint (same estimator set and algebra as
-    volpathsimple.sample_adjoint). Returns MediumParams gradients."""
+    volpathsimple.sample_adjoint). Returns MediumParams gradients.
+    ``schedule`` (as in :func:`sample_primal_compact`) enables in-graph
+    compaction rounds."""
     m = scene.medium
     n = o.shape[0]
     smp = make_lane_sampler(seed, n_lanes=n)
@@ -352,13 +525,15 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         c=carry, alt=lane_fork(smp, 0x9E3779B9),
         acc=init_accum(m, vary=jnp.sum(z1)),
         rp_dim=zu, rp_t=z1, rp_tr=z1, sh_dim0=zu,
-        sh_adj=carry.o_l * 0.0, res=_reservoir_init(carry.o_l * 0.0))
+        sh_adj=carry.o_l * 0.0, dL=jnp.asarray(dL),
+        res=_reservoir_init(carry.o_l * 0.0))
 
     def cond(a: _FlatAdjCarry):
         return jnp.any(a.c.mode != DONE) & (a.c.it < max_iters)
 
     def body(a: _FlatAdjCarry) -> _FlatAdjCarry:
         c = a.c
+        dL = a.dL            # per-lane (compaction-safe)
         out, ev = _flat_step(cfg, scene, c, rp_dim=a.rp_dim, rp_t=a.rp_t)
         acc, alt = a.acc, a.alt
         p, sig, alb = ev.p, ev.sig, ev.alb
@@ -427,9 +602,19 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         out = out._replace(mode=mode, result=result)
         return _FlatAdjCarry(c=out, alt=alt, acc=acc, rp_dim=rp_dim,
                              rp_t=rp_t, rp_tr=rp_tr, sh_dim0=sh_dim0,
-                             sh_adj=sh_adj, res=res)
+                             sh_adj=sh_adj, dL=a.dL, res=res)
 
-    ac = jax.lax.while_loop(cond, body, ac)
+    if schedule is None:
+        ac = jax.lax.while_loop(cond, body, ac)
+    else:
+        n_l = o.shape[0]
+        sched = [schedule[0]]
+        defaults = [(max(n_l // 8, 8192), 256), (max(n_l // 32, 8192), None)]
+        for i, st in enumerate(schedule[1:]):
+            sched.append(st if st is not None else
+                         defaults[i] if i < len(defaults) else (n_l, None))
+        ac = _run_rounds(body, _adj_take, _adj_put,
+                         lambda a: a.c.mode != DONE, ac, sched, n_l)
 
     # ---- delayed DRT on reservoir vertices (volpathsimple.py:248-259)
     if cfg.use_drt and cfg.use_drt_subsampling:

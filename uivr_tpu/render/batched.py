@@ -91,7 +91,7 @@ def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, seed):
         return nerf_mod.sample_primal(cfg, scene, o, d,
                                       make_sampler(seed, n_lanes=o.shape[0]))[:2]
     if cfg.engine == "flat":
-        return vflat_mod.sample_primal(cfg, scene, o, d, seed)
+        return vflat_mod.sample_primal_compact(cfg, scene, o, d, seed)
     L, valid, _ = vps_mod.sample_primal(
         cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]))
     return L, valid
@@ -103,7 +103,8 @@ def _dispatch_adjoint(cfg: IntegratorConfig, scene, o, d, seed, dL, L):
             cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]), dL, L)
         return g
     if cfg.engine == "flat":
-        return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L)
+        return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L,
+                                        schedule=(96, None, None))
     g, _ = vps_mod.sample_adjoint(
         cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]), dL, L)
     return g
