@@ -410,10 +410,15 @@ def _run_rounds(step_body, take_fn, put_fn, active_of, full,
             return jnp.any(active_of(cc)) & (cc.it - it0 < iters)
         return jax.lax.while_loop(cond, step_body, c)
 
+    def unbounded(c):
+        def cond(cc):
+            return jnp.any(active_of(cc))
+        return jax.lax.while_loop(cond, step_body, c)
+
     full = bounded(full, first_iters)
     for size, iters in stages:
         if size >= n:
-            full = bounded(full, iters)
+            full = unbounded(full) if iters is None else bounded(full, iters)
             continue
         order = jnp.argsort(~active_of(full))
         idx = order[:size]
