@@ -176,7 +176,6 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
     n_sensors = bundle.cameras.n_sensors
     metrics_path = join(output_dir, "metrics.jsonl")
     metrics_f = open(metrics_path, "a")
-
     preview_sensors = [0]
     preview_settings = RenderSettings(
         integrator=int_cfg, medium=bundle.medium_cfg,
@@ -189,6 +188,11 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
                                bundle.cameras, s, seed=1234,
                                medium_to_world=bundle.to_world)
             exr_io.write_exr(join(output_dir, f"opt_{tag}_{s:04d}.exr"), img)
+            ref = np.asarray(ref_images[s])
+            psnr = float(losses_mod.psnr(jnp.asarray(img), jnp.asarray(ref)))
+            metrics_f.write(json.dumps(
+                {"preview": tag, "sensor": s, "psnr": round(psnr, 3)}) + "\n")
+            metrics_f.flush()
 
     if opt.checkpoint_initial:
         save_checkpoint(join(output_dir, "params"), params, "initial")
