@@ -13,7 +13,6 @@ Completed runs (final checkpoint present) are skipped (reproduce.py:39-41).
 from __future__ import annotations
 
 import argparse
-import os
 from os.path import isfile, join
 
 from ..config.registry import (get_int_config, get_scene_config,

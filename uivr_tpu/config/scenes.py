@@ -7,14 +7,14 @@ reproduces the deterministic 3x3x3 grids of the reference test fixture
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..scene.camera import Cameras, look_at, make_cameras, orbit_cameras
-from ..scene.emitters import ConstantEmitter, EnvmapEmitter, make_envmap
+from ..scene.emitters import ConstantEmitter, make_envmap
 from ..scene.medium import MediumConfig, MediumParams
 from ..scene.scene import Emitter
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.rng import Sampler, next_1d
-from ..scene.medium import (Medium, emission_at, intersect_bbox, sigma_t_at)
+from ..scene.medium import emission_at, intersect_bbox, sigma_t_at
 from ..scene.scene import Scene
 from .common import finalize_accum, init_accum, scatter_emission, scatter_sigma
 

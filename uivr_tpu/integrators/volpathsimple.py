@@ -39,11 +39,11 @@ import jax.numpy as jnp
 
 from ..core import aabb
 from ..core.rng import Sampler, clone, fork, next_1d, next_2d
-from ..scene.medium import Medium, albedo_at, sigma_t_at
+from ..scene.medium import albedo_at, sigma_t_at
 from ..scene.phase import phase_eval, phase_sample
 from ..scene.scene import Scene
 from ..tracking import drt_distance, free_flight, transmittance
-from .common import (GradAccum, finalize_accum, init_accum, mis_weight,
+from .common import (finalize_accum, init_accum, mis_weight,
                      scatter_albedo, scatter_sigma)
 
 

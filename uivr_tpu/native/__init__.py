@@ -9,7 +9,6 @@ pre/post filters for large reference image sets.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from os.path import dirname, isfile, join
 

@@ -10,10 +10,9 @@ reference-pipeline compatibility.
 from __future__ import annotations
 
 import os
-from os.path import isdir, isfile, join
+from os.path import isdir, isfile
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Union
 
-import jax.numpy as jnp
 import numpy as np
 
 from .camera import Cameras

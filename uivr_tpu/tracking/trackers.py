@@ -37,14 +37,14 @@ finite-difference oracle in tests):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core.rng import Sampler, next_1d
 from ..scene.gradients import GradAccum, scatter_sigma
-from ..scene.medium import Medium, majorant_at, sigma_t_at
+from ..scene.medium import Medium, sigma_t_at
 
 _BIG = jnp.float32(1e30)
 
