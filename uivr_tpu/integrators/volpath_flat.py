@@ -466,7 +466,8 @@ def _adj_put(full: "_FlatAdjCarry", sub: "_FlatAdjCarry",
 
 
 def sample_primal_compact(cfg: VolpathConfig, scene: Scene, o, d, seed,
-                          schedule=(96, None, None)):
+                          schedule=(96, None, None),
+                          path_state: Optional[PathState] = None):
     """Flat primal with in-graph compaction rounds (see note above).
 
     ``schedule``: (first_iters, (size1, iters1), ..., ) — sizes default to
@@ -475,14 +476,14 @@ def sample_primal_compact(cfg: VolpathConfig, scene: Scene, o, d, seed,
     """
     # below ~32k lanes gather cost is overhead-dominated, so deeper
     # compaction stages stop paying off; default = one n/8 stage (unbounded)
-    n = o.shape[0]
+    n = (o if path_state is None else path_state.o_l).shape[0]
     sched = [schedule[0]]
     defaults = [(max(n // 8, 8192), 256), (max(n // 32, 8192), None)]
     for i, st in enumerate(schedule[1:]):
         sched.append(st if st is not None else
                      defaults[i] if i < len(defaults) else (n, None))
     smp = make_lane_sampler(seed, n_lanes=n)
-    full = _init_carry(scene, o, d, smp, None)
+    full = _init_carry(scene, o, d, smp, path_state)
 
     def step_body(c):
         return _flat_step(cfg, scene, c)[0]
@@ -665,8 +666,8 @@ def _drt_backward_flat(cfg: VolpathConfig, scene: Scene, seed, res, adjoint,
         depth=next_depth, o_l=p, d_l=rec_dl, d_w=wo, maxt=rec_maxt,
         last_pdf=jnp.where(active, ph_pdf, 1.0))
     rec_seed, _ = sample_tea_32(jnp.asarray(seed, jnp.uint32), 0x7177)
-    rec_Li, _ = sample_primal(cfg, scene, None, None, rec_seed,
-                              path_state=ps)
+    rec_Li, _ = sample_primal_compact(cfg, scene, None, None, rec_seed,
+                                      schedule=(64, None), path_state=ps)
     Li = Li + rec_Li
 
     sig = sigma_t_at(m, p)
