@@ -20,6 +20,15 @@ import time
 
 # Use whatever platform the driver provides (axon TPU in production).
 import jax
+
+# Persistent compile cache: remote TPU compiles cost minutes; cache across
+# invocations (harmless no-op if the backend ignores it).
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
