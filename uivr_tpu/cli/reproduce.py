@@ -24,6 +24,7 @@ from ..opt.schedule import Schedule
 BASE_OPT = dict(
     spp=16, n_iter=6000, lr=5e-3, primal_spp_factor=64, batch_size=32768,
     lr_schedule=Schedule.Last25, upsample=[0.04, 0.16, 0.36, 0.64],
+    preview_spp=64,
 )
 EXPERIMENT_OVERRIDES = {
     ("janga-smoke", "nerf"): dict(lr=1e-2),
