@@ -62,20 +62,41 @@ def main():
     opt_state = adam_init(params)
     lr = jax.tree_util.tree_map(lambda _: 5e-3, params)
 
-    @jax.jit
-    def step(params, opt_state, sensor_idx, pixels, ref, seed, seed_grad):
-        def f(p):
-            img = render(p, bundle.emitter, bundle.cameras, sensor_idx,
-                         pixels, seed, seed_grad)
-            return losses.l1(img, ref)
-        loss, grads = jax.value_and_grad(f)(params)
-        params, opt_state = adam_step(params, grads, opt_state, lr)
-        params = enforce_valid_params(params, bundle.max_density)
-        return params, opt_state, loss
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # multi-chip: shard the ray batch over the mesh, psum grad grids
+        from uivr_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                       sharded_loss_and_grad)
+        mesh = make_mesh()
+        vag = sharded_loss_and_grad(mesh, render, losses.l1)
+        batch = (batch // n_dev) * n_dev
+
+        @jax.jit
+        def step(params, opt_state, sensor_idx, pixels, ref, seed, seed_grad):
+            loss, grads = vag(params, bundle.emitter, bundle.cameras,
+                              sensor_idx, pixels, ref, seed, seed_grad)
+            params, opt_state = adam_step(params, grads, opt_state, lr)
+            params = enforce_valid_params(params, bundle.max_density)
+            return params, opt_state, loss
+    else:
+        @jax.jit
+        def step(params, opt_state, sensor_idx, pixels, ref, seed, seed_grad):
+            def f(p):
+                img = render(p, bundle.emitter, bundle.cameras, sensor_idx,
+                             pixels, seed, seed_grad)
+                return losses.l1(img, ref)
+            loss, grads = jax.value_and_grad(f)(params)
+            params, opt_state = adam_step(params, grads, opt_state, lr)
+            params = enforce_valid_params(params, bundle.max_density)
+            return params, opt_state, loss
 
     sensor_idx, pixels = sample_batch_pixels(jnp.uint32(1), 16,
                                              bundle.film_size, batch)
     ref = jnp.full((batch, 3), 0.3, jnp.float32)
+    if n_dev > 1:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        sensor_idx, pixels, ref = shard_batch(mesh, (sensor_idx, pixels, ref))
 
     # compile + warmup
     params, opt_state, loss = step(params, opt_state, sensor_idx, pixels,
@@ -92,11 +113,12 @@ def main():
 
     rays_per_iter = batch * (spp + 2 * spp_grad)
     mrays = rays_per_iter * iters / dt / 1e6
+    per_chip = mrays / n_dev
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd @64spp",
-        "value": round(mrays, 3),
+        "value": round(per_chip, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 62.5, 4),
+        "vs_baseline": round(per_chip / 62.5, 4),
     }))
 
 
