@@ -102,3 +102,36 @@ def test_tiny_optimization_reduces_loss(tmp_path):
     assert losses[-1] < 0.5 * losses[0], losses
     assert os.path.isfile(os.path.join(out, "params",
                                        "final-medium1_sigma_t.vol"))
+
+
+def test_optimization_with_upsampling(tmp_path):
+    """Multires schedule: grids start downscaled, double at the milestone,
+    optimizer state resets, loss stays finite (optimize.py:203-252)."""
+    from uivr_tpu.config import cube_test_scene
+    from uivr_tpu.integrators import NerfConfig
+    from uivr_tpu.opt import run_optimization
+    from uivr_tpu.core import vol_io
+    import os
+
+    b = cube_test_scene(resx=16, resy=16)
+    # final grids 4^3 so one x2 upsample starts from 2^3
+    b.params = MediumParams(*[jnp.asarray(np.random.RandomState(0)
+                                          .rand(4, 4, 4, c).astype(np.float32))
+                              for c in (1, 3, 3)])
+    b.start_from = MediumParams(
+        sigma_t=jnp.full((4, 4, 4, 1), 0.05),
+        albedo=jnp.full((4, 4, 4, 3), 0.5),
+        emission=jnp.full((4, 4, 4, 3), 0.05))
+    opt = OptimizationConfig(name="up", spp=2, n_iter=12, lr=1e-2,
+                             primal_spp_factor=2, batch_size=64,
+                             upsample=[0.5], checkpoint_stride=0,
+                             preview_stride=10**9, render_initial=False,
+                             render_final=False)
+    out = str(tmp_path / "run")
+    params = run_optimization(out, opt, b, NerfConfig(queries_per_ray=8),
+                              ref_spp=4, verbose=False)
+    assert params.sigma_t.shape == (4, 4, 4, 1)
+    data, _ = vol_io.read_vol(os.path.join(out, "params",
+                                           "final-medium1_sigma_t.vol"))
+    assert data.shape == (4, 4, 4, 1)
+    assert np.isfinite(np.asarray(params.sigma_t)).all()
