@@ -67,6 +67,23 @@ def main(argv=None):
         from ..parallel import make_mesh
         mesh = make_mesh(args.mesh)
 
+    # Reference images: rendered ONCE per scene with the scene's reference
+    # integrator (physically-based), shared by all optimization stages —
+    # the reference repo's semantics (scene_config.references,
+    # optimize.py:56-71). The nerf bootstrap thus fits the emissive model
+    # to physically-based "photographs".
+    from ..opt import render_references
+    from ..render import RenderSettings
+    ref_spp = args.ref_spp or scene_preset.ref_spp
+    ref_int = get_int_config(scene_preset.ref_integrator).create(
+        max_depth=scene_preset.max_depth)
+    ref_settings = RenderSettings(
+        integrator=ref_int, medium=bundle.medium_cfg,
+        film_size=bundle.film_size, spp=ref_spp, spp_grad=ref_spp)
+    ref_images = render_references(
+        bundle, ref_settings, join(args.outputs, args.config, "references"),
+        spp=ref_spp)
+
     for int_name in args.integrator:
         preset = get_int_config(int_name)
         out_dir = join(args.outputs, args.config, int_name)
@@ -88,7 +105,7 @@ def main(argv=None):
         print(f"[run] scene={args.config} integrator={int_name} "
               f"iters={opt.n_iter} batch={opt.batch_size}")
         run_optimization(out_dir, opt, bundle, int_cfg,
-                         ref_spp=args.ref_spp or scene_preset.ref_spp,
+                         ref_images=ref_images, ref_spp=ref_spp,
                          mesh=mesh, start_params=start_params)
         print(f"[done] {out_dir}")
 

@@ -85,6 +85,10 @@ class ScenePreset:
     builder_kwargs: Dict = field(default_factory=dict)
     max_depth: int = 64
     ref_spp: int = 512
+    # integrator used to render the reference images (the reference repo
+    # renders refs with the physically-based tracer even for the nerf
+    # bootstrap stage — scene_config.py:25 ref_integrator)
+    ref_integrator: str = "volpathsimple-basic"
     max_density: float = 250.0
     param_lr_factors: Dict[str, float] = field(
         default_factory=lambda: {"albedo": 2.0})
