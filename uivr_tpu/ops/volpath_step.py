@@ -1,0 +1,574 @@
+"""Pallas TPU fused step kernel for the flat volumetric path tracer (primal).
+
+TPU-native acceleration of ``volpath_flat._flat_step``: everything except the
+sigma/albedo trilinear lookup runs in ONE Pallas kernel per tracking step —
+supercell majorant lookup (chunked 128-lane shuffles from VMEM), TEA counter
+RNG (int32 VPU ops), free-flight sampling, event classification, Russian
+roulette, phase sampling, NEE direction sampling and all state updates.  The
+sigma/albedo corner-table row gather stays in XLA between kernel calls
+(``sigma_albedo_at``): Mosaic's ``tpu.dynamic_gather`` on this toolchain is a
+within-row 128-lane shuffle only (operand last dim 128, indices < 128 —
+scripts/repro5_bisect.py), which cannot address a voxel grid, and gathers do
+not lower inside in-kernel loops (scripts/repro3_loops.py), so the step loop
+stays in XLA.
+
+Step pipelining: the kernel fuses "post" of step i (event application, given
+sig/albedo at the step-i candidate point) with "pre" of step i+1 (majorant +
+free-flight candidate + collision point), so the loop body is exactly one
+XLA row gather + one kernel dispatch.  A runtime ``do_post`` flag makes the
+first call pre-only (no recompile).
+
+Layout: per-lane state in 32 SoA planes (n/128, 128) — lanes in the last
+(128-wide) dim, matching the shuffle primitive.  The TEA draw sequence is
+bit-identical to the XLA flat engine (same draws, same consume masks), so
+both engines sample the same paths modulo float-boundary event flips;
+estimators are identical (reference volpathsimple.py:110-246 semantics).
+
+The adjoint currently runs on the XLA flat engine (volpath_flat).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.rng import LaneSampler, make_lane_sampler
+from ..integrators.volpath_flat import (DONE, MAIN, SHADOW, _FlatCarry,
+                                        _finish, _init_carry, _run_rounds)
+from ..integrators.volpathsimple import VolpathConfig
+from ..scene.emitters import ConstantEmitter, _INV_FOUR_PI
+from ..scene.medium import sigma_albedo_at
+from ..scene.scene import Scene
+
+_BIG = jnp.float32(1e30)
+
+# TEA constants as int32 bit patterns (Mosaic lacks uint32->f32 casts; int32
+# two's-complement +, <<, ^ are bit-identical; >> via shift_right_logical).
+_TEA_D = np.int32(np.uint32(0x9E3779B9))
+_TEA_K = [np.int32(np.uint32(k)) for k in
+          (0xA341316C, 0xC8013EA4, 0xAD90777D, 0x7E95761E)]
+
+
+def tea_i32(v0, v1, rounds: int = 8):
+    """Bit-exact int32 port of core.rng.tea (verified scripts/repro4)."""
+    shr = jax.lax.shift_right_logical
+    s = jnp.int32(0)
+    for _ in range(rounds):
+        s = s + _TEA_D
+        v0 = v0 + (((v1 << 4) + _TEA_K[0]) ^ (v1 + s) ^ (shr(v1, 5) + _TEA_K[1]))
+        v1 = v1 + (((v0 << 4) + _TEA_K[2]) ^ (v0 + s) ^ (shr(v0, 5) + _TEA_K[3]))
+    return v0, v1
+
+
+def _unit_float(bits):
+    return jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) \
+        * jnp.float32(1.0 / 16777216.0)
+
+
+# State planes: 27 f32 + 5 i32; pre-planes: 7 f32 (the step-i candidate the
+# XLA gather consumes).  flags bits: 1=escaped, 2=has_scattered, 4=post_main.
+F32_PLANES = ("ox", "oy", "oz", "dlx", "dly", "dlz", "dwx", "dwy", "dwz",
+              "t", "maxt", "thr0", "thr1", "thr2", "res0", "res1", "res2",
+              "lpdf", "shdx", "shdy", "shdz", "sht", "shtmax", "shtr",
+              "shb0", "shb1", "shb2")
+I32_PLANES = ("mode", "depth", "flags", "h", "dim")
+PRE_PLANES = ("px", "py", "pz", "tcand", "texit", "smaj", "uevt")
+ALL_PLANES = F32_PLANES + I32_PLANES + PRE_PLANES
+N_STATE = len(F32_PLANES) + len(I32_PLANES)
+N_ALL = N_STATE + len(PRE_PLANES)
+
+FL_ESC, FL_SCAT, FL_POST = 1, 2, 4
+
+
+@dataclass(frozen=True)
+class StepSpec:
+    """Static kernel configuration."""
+    Dc: int; Hc: int; Wc: int       # majorant supergrid dims
+    R: int                          # n // 128
+    max_depth: int
+    rr_depth: int
+    use_nee: bool
+    phase_iso: bool
+    interpret: bool = False
+
+    @property
+    def n_chunks(self) -> int:
+        return -(-self.Dc * self.Hc * self.Wc // 128)
+
+
+class StepTables(NamedTuple):
+    maj: jnp.ndarray     # (n_chunks, 128) majorant supergrid, scale folded
+    scal: jnp.ndarray    # (1, 16) SMEM: w2l[0:9], phase_g[9], em_w[10:13],
+    #                       do_post[13]
+
+
+def build_tables(scene: Scene, do_post_placeholder: bool = True) -> StepTables:
+    m = scene.medium
+    Tm = int(np.prod(m.majorant_grid.shape))
+    nc = -(-Tm // 128)
+    maj = jnp.pad(m.majorant_grid.reshape(-1),
+                  (0, nc * 128 - Tm)).reshape(nc, 128)
+    em_w = scene.emitter.radiance / _INV_FOUR_PI
+    w2l = m.world_to_local[:3, :3].reshape(9)
+    scal = jnp.concatenate([
+        w2l, m.phase_g[None], em_w,
+        jnp.zeros(3, jnp.float32)]).reshape(1, 16)
+    return StepTables(maj=maj, scal=scal)
+
+
+def _chunk_shuffle(maj_ref, idx):
+    """Gather maj[idx] for idx (R, 128) in [0, 128*n_chunks): one 128-lane
+    shuffle + select per chunk row."""
+    local = idx & 127
+    chunk = idx >> 7
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for c in range(maj_ref.shape[0]):
+        g = jnp.take_along_axis(
+            jnp.broadcast_to(maj_ref[c:c + 1, :], idx.shape), local, axis=1)
+        out = jnp.where(chunk == c, g, out)
+    return out
+
+
+def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
+                 a2_ref, *refs):
+    v = {k: r[...] for k, r in zip(ALL_PLANES, refs[:N_ALL])}
+    outs = dict(zip(ALL_PLANES, refs[N_ALL:]))
+
+    g = scal_ref[0, 9]
+    em_w = (scal_ref[0, 10], scal_ref[0, 11], scal_ref[0, 12])
+    do_post = scal_ref[0, 13] > 0.5
+
+    def w2l_mul(x, y, z):
+        return (scal_ref[0, 0] * x + scal_ref[0, 1] * y + scal_ref[0, 2] * z,
+                scal_ref[0, 3] * x + scal_ref[0, 4] * y + scal_ref[0, 5] * z,
+                scal_ref[0, 6] * x + scal_ref[0, 7] * y + scal_ref[0, 8] * z)
+
+    h = v["h"]
+    dim = v["dim"]
+
+    def draw(consume):
+        nonlocal dim
+        bits, _ = tea_i32(h, dim)
+        dim = dim + consume.astype(jnp.int32)
+        return _unit_float(bits)
+
+    def exit_dist(ox_, oy_, oz_, dx_, dy_, dz_):
+        """volpathsimple._exit_dist (slab far-plane from inside [0,1]^3)."""
+        def ax(o, dd):
+            sd = jnp.where(jnp.abs(dd) < 1e-20,
+                           jnp.where(dd >= 0, 1e-20, -1e-20), dd)
+            inv = 1.0 / sd
+            return jnp.maximum((0.0 - o) * inv, (1.0 - o) * inv)
+        return jnp.minimum(jnp.minimum(ax(ox_, dx_), ax(oy_, dy_)),
+                           ax(oz_, dz_))
+
+    # =================== POST: apply events of step i ======================
+    mode = v["mode"]
+    is_main = mode == MAIN
+    is_sh = mode == SHADOW
+    walking = is_main | is_sh
+    wmax = jnp.where(is_main, v["maxt"], v["shtmax"])
+    wt = jnp.where(is_main, v["t"], v["sht"])
+
+    t_cand, t_exit = v["tcand"], v["texit"]
+    sigma_maj, u_evt = v["smaj"], v["uevt"]
+    sig = sig_ref[...]
+    alb0, alb1, alb2 = a0_ref[...], a1_ref[...], a2_ref[...]
+    px, py, pz = v["px"], v["py"], v["pz"]
+
+    post = jnp.broadcast_to(do_post, mode.shape)
+    bound = jnp.minimum(t_exit, wmax)
+    collided = post & walking & (t_cand < bound)
+    fin_seg = post & walking & (~(t_cand < bound)) & (t_exit >= wmax)
+    crossed = post & walking & (~(t_cand < bound)) & (t_exit < wmax)
+    t_next = jnp.where(collided, t_cand, jnp.where(crossed, t_exit, wt))
+
+    r = jnp.where(sigma_maj > 0.0, sig / jnp.maximum(sigma_maj, 1e-20), 0.0)
+    ratio = jnp.maximum(1.0 - r, 0.0)
+
+    # ---- SHADOW walk (volpath_flat.py:209-218) ---------------------------
+    sh_coll = is_sh & collided
+    shtr = jnp.where(sh_coll, v["shtr"] * ratio, v["shtr"])
+    sht = jnp.where(post & is_sh, t_next, v["sht"])
+    sh_done = post & is_sh & (fin_seg | (shtr <= 0.0))
+    res0 = v["res0"] + jnp.where(sh_done, v["shb0"] * shtr, 0.0)
+    res1 = v["res1"] + jnp.where(sh_done, v["shb1"] * shtr, 0.0)
+    res2 = v["res2"] + jnp.where(sh_done, v["shb2"] * shtr, 0.0)
+    post_main = (v["flags"] & FL_POST) != 0
+    mode = jnp.where(sh_done, jnp.where(post_main, MAIN, DONE), mode)
+
+    # ---- MAIN walk (volpath_flat.py:221-246) -----------------------------
+    real = is_main & collided & (u_evt < r)
+    m_escape = post & is_main & fin_seg
+    t = jnp.where(post & is_main, t_next, v["t"])
+    flags = v["flags"] | jnp.where(m_escape, FL_ESC, 0)
+    mode = jnp.where(m_escape, DONE, mode)
+
+    thr0 = jnp.where(real, v["thr0"] * alb0, v["thr0"])
+    thr1 = jnp.where(real, v["thr1"] * alb1, v["thr1"])
+    thr2 = jnp.where(real, v["thr2"] * alb2, v["thr2"])
+    depth = jnp.where(real, v["depth"] + 1, v["depth"])
+    die_depth = real & (depth >= spec.max_depth)
+    mode = jnp.where(die_depth, DONE, mode)
+    scat = real & ~die_depth
+
+    u_rr = draw(real)
+    perform_rr = scat & (depth > spec.rr_depth)
+    q = jnp.minimum(jnp.maximum(jnp.maximum(thr0, thr1), thr2), 0.99)
+    rr_dead = perform_rr & (u_rr >= q)
+    qs = jnp.maximum(q, 1e-8)
+    thr0 = jnp.where(perform_rr, thr0 / qs, thr0)
+    thr1 = jnp.where(perform_rr, thr1 / qs, thr1)
+    thr2 = jnp.where(perform_rr, thr2 / qs, thr2)
+    mode = jnp.where(rr_dead, DONE, mode)
+    scat = scat & ~rr_dead
+
+    # ---- phase sampling (scene/phase.py port, pre-update incident dir) ---
+    u_p1 = draw(scat)
+    u_p2 = draw(scat)
+    dwx, dwy, dwz = v["dwx"], v["dwy"], v["dwz"]
+
+    if spec.phase_iso:
+        cos_theta = 1.0 - 2.0 * u_p1
+        ph_pdf = jnp.full_like(u_p1, _INV_FOUR_PI)
+    else:
+        g2 = g * g
+        sqr = (1.0 - g2) / (1.0 - g + 2.0 * g * u_p1)
+        cos_theta = jnp.clip((1.0 + g2 - sqr * sqr) / (2.0 * g), -1.0, 1.0)
+        den = 1.0 + g2 - 2.0 * g * cos_theta
+        ph_pdf = jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
+            den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = jnp.float32(2.0 * np.pi) * u_p2
+    sign = jnp.where(dwz >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+    a_ = -1.0 / (sign + dwz)
+    b_ = dwx * dwy * a_
+    cp = sin_theta * jnp.cos(phi)
+    sp = sin_theta * jnp.sin(phi)
+    wox = cp * (1.0 + sign * dwx * dwx * a_) + sp * b_ + cos_theta * dwx
+    woy = cp * (sign * b_) + sp * (sign + dwy * dwy * a_) + cos_theta * dwy
+    woz = cp * (-sign * dwx) + sp * (-dwy) + cos_theta * dwz
+    inv_n = jax.lax.rsqrt(jnp.maximum(wox * wox + woy * woy + woz * woz,
+                                      1e-30))
+    wox, woy, woz = wox * inv_n, woy * inv_n, woz * inv_n
+
+    dwx_n = jnp.where(scat, wox, dwx)
+    dwy_n = jnp.where(scat, woy, dwy)
+    dwz_n = jnp.where(scat, woz, dwz)
+    nlx, nly, nlz = w2l_mul(wox, woy, woz)
+    dlx = jnp.where(scat, nlx, v["dlx"])
+    dly = jnp.where(scat, nly, v["dly"])
+    dlz = jnp.where(scat, nlz, v["dlz"])
+    lpdf = jnp.where(scat, ph_pdf, v["lpdf"])
+    flags = flags | jnp.where(scat, FL_SCAT, 0)
+
+    ox = jnp.where(scat, px, v["ox"])
+    oy = jnp.where(scat, py, v["oy"])
+    oz = jnp.where(scat, pz, v["oz"])
+    cont_maxt = jnp.minimum(exit_dist(ox, oy, oz, dlx, dly, dlz), _BIG * 1e7)
+    maxt = jnp.where(scat, cont_maxt, v["maxt"])
+    t = jnp.where(scat, 0.0, t)
+    acc_escape = scat & (cont_maxt <= 1e-7)
+    resume_main = ~acc_escape
+
+    # ---- NEE direction sampling (constant emitter) -----------------------
+    if spec.use_nee:
+        u_e1 = draw(scat)
+        u_e2 = draw(scat)
+        zdir = 1.0 - 2.0 * u_e1
+        rr_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
+        phie = jnp.float32(2.0 * np.pi) * u_e2
+        dsx = rr_ * jnp.cos(phie)
+        dsy = zdir
+        dsz = rr_ * jnp.sin(phie)
+        nee_ok = scat                       # constant-emitter pdf > 0
+        cth = dwx * dsx + dwy * dsy + dwz * dsz
+        if spec.phase_iso:
+            phv = jnp.full_like(cth, _INV_FOUR_PI)
+        else:
+            g2 = g * g
+            den = 1.0 + g2 - 2.0 * g * cth
+            phv = jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
+                den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12)
+        ds_pdf = jnp.float32(_INV_FOUR_PI)
+        a2 = ds_pdf * ds_pdf
+        wmis = a2 / jnp.maximum(a2 + phv * phv, 1e-30)
+        sdx, sdy, sdz = w2l_mul(dsx, dsy, dsz)
+        base = phv * wmis
+
+        shdx = jnp.where(nee_ok, sdx, v["shdx"])
+        shdy = jnp.where(nee_ok, sdy, v["shdy"])
+        shdz = jnp.where(nee_ok, sdz, v["shdz"])
+        shtmax = jnp.where(nee_ok, exit_dist(ox, oy, oz, sdx, sdy, sdz),
+                           v["shtmax"])
+        shb0 = jnp.where(nee_ok, thr0 * base * em_w[0], v["shb0"])
+        shb1 = jnp.where(nee_ok, thr1 * base * em_w[1], v["shb1"])
+        shb2 = jnp.where(nee_ok, thr2 * base * em_w[2], v["shb2"])
+        sht = jnp.where(nee_ok, 0.0, sht)
+        shtr = jnp.where(nee_ok, 1.0, shtr)
+        flags = jnp.where(scat,
+                          jnp.where(resume_main, flags | FL_POST,
+                                    flags & ~FL_POST), flags)
+        mode = jnp.where(nee_ok, SHADOW, mode)
+    else:
+        shdx, shdy, shdz = v["shdx"], v["shdy"], v["shdz"]
+        shtmax = v["shtmax"]
+        shb0, shb1, shb2 = v["shb0"], v["shb1"], v["shb2"]
+        mode = jnp.where(scat, jnp.where(resume_main, MAIN, DONE), mode)
+
+    # =================== PRE: candidate for step i+1 =======================
+    n_main = mode == MAIN
+    n_sh = mode == SHADOW
+    n_walk = n_main | n_sh
+    wdx = jnp.where(n_main, dlx, shdx)
+    wdy = jnp.where(n_main, dly, shdy)
+    wdz = jnp.where(n_main, dlz, shdz)
+    nwt = jnp.where(n_main, t, sht)
+
+    # volpath_flat._cell_step
+    eps = jnp.float32(1e-5) * (1.0 + jnp.abs(nwt))
+    te = nwt + eps
+
+    def cell_axis(o, dd, nres):
+        pw = o + te * dd
+        return jnp.clip(jnp.floor(jnp.clip(pw, 0.0, 1.0 - 1e-7) * nres),
+                        0.0, nres - 1.0)
+
+    cx = cell_axis(ox, wdx, float(spec.Wc))
+    cy = cell_axis(oy, wdy, float(spec.Hc))
+    cz = cell_axis(oz, wdz, float(spec.Dc))
+    midx = ((cz.astype(jnp.int32) * spec.Hc + cy.astype(jnp.int32))
+            * spec.Wc + cx.astype(jnp.int32))
+    n_smaj = _chunk_shuffle(maj_ref, midx)
+
+    def exit_axis(c, nres, o, dd):
+        lo = c / nres
+        hi = (c + 1.0) / nres
+        sd = jnp.where(jnp.abs(dd) < 1e-20,
+                       jnp.where(dd >= 0, 1e-20, -1e-20), dd)
+        return jnp.maximum((lo - o) / sd, (hi - o) / sd)
+
+    n_texit = jnp.maximum(jnp.minimum(
+        jnp.minimum(exit_axis(cx, float(spec.Wc), ox, wdx),
+                    exit_axis(cy, float(spec.Hc), oy, wdy)),
+        exit_axis(cz, float(spec.Dc), oz, wdz)), te)
+
+    consume = n_walk
+    u_step = draw(consume)
+    n_uevt = draw(consume)
+    step = jnp.where(n_smaj > 0.0,
+                     -jnp.log1p(-u_step) / jnp.maximum(n_smaj, 1e-20), _BIG)
+    n_tcand = nwt + step
+    n_px = ox + n_tcand * wdx
+    n_py = oy + n_tcand * wdy
+    n_pz = oz + n_tcand * wdz
+
+    out_vals = dict(
+        ox=ox, oy=oy, oz=oz, dlx=dlx, dly=dly, dlz=dlz,
+        dwx=dwx_n, dwy=dwy_n, dwz=dwz_n, t=t, maxt=maxt,
+        thr0=thr0, thr1=thr1, thr2=thr2, res0=res0, res1=res1, res2=res2,
+        lpdf=lpdf, shdx=shdx, shdy=shdy, shdz=shdz, sht=sht,
+        shtmax=shtmax, shtr=shtr, shb0=shb0, shb1=shb1, shb2=shb2,
+        mode=mode, depth=depth, flags=flags, h=h, dim=dim,
+        px=n_px, py=n_py, pz=n_pz, tcand=n_tcand, texit=n_texit,
+        smaj=n_smaj, uevt=n_uevt)
+    for k in ALL_PLANES:
+        outs[k][...] = out_vals[k]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_call(spec: StepSpec):
+    V = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dtypes = ([jnp.float32] * len(F32_PLANES) + [jnp.int32] * len(I32_PLANES)
+              + [jnp.float32] * len(PRE_PLANES))
+    out_shape = [jax.ShapeDtypeStruct((spec.R, 128), dt) for dt in dtypes]
+    aliases = {6 + i: i for i in range(N_ALL)}
+    return pl.pallas_call(
+        functools.partial(_step_kernel, spec),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), V, V, V, V, V]
+        + [V] * N_ALL,
+        out_specs=[V] * N_ALL,
+        input_output_aliases=aliases,
+        interpret=spec.interpret,
+    )
+
+
+class PlanesCarry(NamedTuple):
+    planes: Tuple[jnp.ndarray, ...]     # N_ALL planes (R, 128)
+    it: jnp.ndarray
+
+    @property
+    def mode_plane(self):
+        return self.planes[N_STATE - len(I32_PLANES)]
+
+
+def pack_carry(c: _FlatCarry, R: int) -> PlanesCarry:
+    def p(x):
+        return x.reshape(R, 128)
+
+    flags = (jnp.where(c.escaped, FL_ESC, 0)
+             | jnp.where(c.has_scattered, FL_SCAT, 0)
+             | jnp.where(c.post_mode == MAIN, FL_POST, 0))
+    z = jnp.zeros((R, 128), jnp.float32)
+    planes = (
+        p(c.o_l[:, 0]), p(c.o_l[:, 1]), p(c.o_l[:, 2]),
+        p(c.d_l[:, 0]), p(c.d_l[:, 1]), p(c.d_l[:, 2]),
+        p(c.d_w[:, 0]), p(c.d_w[:, 1]), p(c.d_w[:, 2]),
+        p(c.t), p(c.maxt),
+        p(c.throughput[:, 0]), p(c.throughput[:, 1]), p(c.throughput[:, 2]),
+        p(c.result[:, 0]), p(c.result[:, 1]), p(c.result[:, 2]),
+        p(c.last_pdf),
+        p(c.sh_d[:, 0]), p(c.sh_d[:, 1]), p(c.sh_d[:, 2]),
+        p(c.sh_t), p(c.sh_tmax), p(c.sh_tr),
+        p(c.sh_base[:, 0]), p(c.sh_base[:, 1]), p(c.sh_base[:, 2]),
+        p(c.mode).astype(jnp.int32), p(c.depth).astype(jnp.int32),
+        p(flags).astype(jnp.int32),
+        p(c.smp.h).view(jnp.int32), p(c.smp.dim).view(jnp.int32),
+        z, z, z, z, z, z, z)
+    return PlanesCarry(planes=planes, it=c.it)
+
+
+def unpack_carry(pc: PlanesCarry, n: int) -> _FlatCarry:
+    d = dict(zip(ALL_PLANES, pc.planes))
+
+    def u(k):
+        return d[k].reshape(n)
+
+    def v3(k0, k1, k2):
+        return jnp.stack([u(k0), u(k1), u(k2)], axis=-1)
+
+    flags = u("flags")
+    return _FlatCarry(
+        mode=u("mode"), o_l=v3("ox", "oy", "oz"),
+        d_l=v3("dlx", "dly", "dlz"), d_w=v3("dwx", "dwy", "dwz"),
+        t=u("t"), maxt=u("maxt"), depth=u("depth"),
+        throughput=v3("thr0", "thr1", "thr2"),
+        result=v3("res0", "res1", "res2"),
+        escaped=(flags & FL_ESC) != 0,
+        has_scattered=(flags & FL_SCAT) != 0,
+        last_pdf=u("lpdf"),
+        post_mode=jnp.where((flags & FL_POST) != 0, MAIN, DONE)
+        .astype(jnp.int32),
+        sh_d=v3("shdx", "shdy", "shdz"), sh_t=u("sht"),
+        sh_tmax=u("shtmax"), sh_tr=u("shtr"),
+        sh_base=v3("shb0", "shb1", "shb2"),
+        smp=LaneSampler(h=u("h").view(jnp.uint32),
+                        dim=u("dim").view(jnp.uint32)),
+        it=pc.it)
+
+
+def pallas_supported(scene: Scene, n: int, cfg: VolpathConfig = None) -> bool:
+    """Static gate for the kernel engine (fallback: XLA flat engine)."""
+    m = scene.medium
+    Tm = int(np.prod(m.majorant_grid.shape))
+    return (isinstance(scene.emitter, ConstantEmitter)
+            and m.combined_ct is not None
+            and Tm <= 2048
+            and n % 128 == 0 and n >= 1024)
+
+
+def _planes_take(pc: PlanesCarry, idx: jnp.ndarray) -> PlanesCarry:
+    R2 = idx.shape[0] // 128
+    return PlanesCarry(
+        planes=tuple(x.reshape(-1)[idx].reshape(R2, 128)
+                     for x in pc.planes),
+        it=pc.it)
+
+
+def _planes_put(full: PlanesCarry, sub: PlanesCarry,
+                idx: jnp.ndarray) -> PlanesCarry:
+    shp = full.planes[0].shape
+    return PlanesCarry(
+        planes=tuple(f.reshape(-1).at[idx].set(s.reshape(-1)).reshape(shp)
+                     for f, s in zip(full.planes, sub.planes)),
+        it=sub.it)
+
+
+def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
+    m = scene.medium
+    Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
+    spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
+                    max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+                    use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
+                    interpret=interpret)
+    call = _make_call(spec)
+    tables = build_tables(scene)
+    n = R * 128
+
+    def step(pc: PlanesCarry, do_post: bool) -> PlanesCarry:
+        d = dict(zip(ALL_PLANES, pc.planes))
+        if do_post:
+            p = jnp.stack([d["px"].reshape(n), d["py"].reshape(n),
+                           d["pz"].reshape(n)], axis=-1)
+            sig, alb = sigma_albedo_at(m, p)     # the one XLA row gather
+            sig = sig.reshape(R, 128)
+            a0 = alb[:, 0].reshape(R, 128)
+            a1 = alb[:, 1].reshape(R, 128)
+            a2 = alb[:, 2].reshape(R, 128)
+        else:
+            sig = jnp.zeros((R, 128), jnp.float32)
+            a0 = a1 = a2 = sig
+        scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
+        planes = call(scal, tables.maj, sig, a0, a1, a2, *pc.planes)
+        return PlanesCarry(planes=tuple(planes),
+                           it=pc.it + (1 if do_post else 0))
+    return step
+
+
+def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
+                         schedule=(96, None, None), path_state=None,
+                         interpret: bool = False):
+    """Drop-in for volpath_flat.sample_primal_compact on supported scenes
+    (same estimator, same TEA draw sequence; Pallas fused step kernel)."""
+    n = (o if path_state is None else path_state.o_l).shape[0]
+    assert n % 128 == 0, n
+    R = n // 128
+
+    smp = make_lane_sampler(seed, n_lanes=n)
+    full = _init_carry(scene, o, d, smp, path_state)
+    pc = pack_carry(full, R)
+
+    steps = {n: _make_step(cfg, scene, R, interpret)}
+    pc = steps[n](pc, do_post=False)        # prime the first candidate
+
+    def active_of(c: PlanesCarry):
+        return c.mode_plane != DONE
+
+    def step_dispatch(c: PlanesCarry) -> PlanesCarry:
+        sz = c.planes[0].shape[0] * 128
+        return steps[sz](c, do_post=True)
+
+    if schedule is None:
+        def cond(c):
+            return jnp.any(active_of(c))
+        pc = jax.lax.while_loop(cond, step_dispatch, pc)
+    else:
+        sched = [schedule[0]]
+        defaults = [(max(n // 8, 8192), 256), (max(n // 32, 8192), None)]
+        for i, st in enumerate(schedule[1:]):
+            sched.append(st if st is not None else
+                         defaults[i] if i < len(defaults) else (n, None))
+        for sz, _ in sched[1:]:
+            if sz < n and sz % 128 == 0 and sz >= 1024 and sz not in steps:
+                steps[sz] = _make_step(cfg, scene, sz // 128, interpret)
+        sched = [sched[0]] + [(sz if sz in steps else n, it)
+                              for sz, it in sched[1:]]
+        pc = _run_rounds(step_dispatch, _planes_take, _planes_put,
+                         active_of, pc, sched, n)
+
+    carry = unpack_carry(pc, n)
+    return _finish(cfg, scene, carry), carry.escaped
+
+
+def _static_iso(phase_g) -> bool:
+    try:
+        return bool(abs(float(jax.device_get(phase_g))) < 1e-4)
+    except Exception:
+        return False
