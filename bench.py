@@ -50,7 +50,8 @@ def main():
     # rr_depth=8: Russian roulette truncates the divergence tail unbiasedly
     # (the reference's production preset disables RR; we report the RR-on
     # number as the production configuration of THIS framework)
-    cfg = VolpathConfig(max_depth=32, max_steps=2048, engine="flat",
+    cfg = VolpathConfig(max_depth=32, max_steps=2048,
+                        engine=os.environ.get("BENCH_ENGINE", "pallas"),
                         rr_depth=int(os.environ.get("BENCH_RR_DEPTH", 8)),
                         trans_grad_samples=2)
     settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,

@@ -12,7 +12,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 import sys
 sys.path.insert(0, "/root/repo")
-from scripts.repro4_trilinear import tea_i32, to_unit_i32  # noqa: E402
+from uivr_tpu.ops.volpath_step import tea_i32
+def to_unit_i32(b):
+    import jax
+    return jax.lax.shift_right_logical(b, 8).astype("float32") * (1.0 / 16777216.0)
 
 V = pl.BlockSpec(memory_space=pltpu.VMEM)
 R = 2048          # 262144 lanes

@@ -1,0 +1,122 @@
+"""Pallas fused-step engine (ops/volpath_step) vs the XLA flat engine.
+
+Runs in interpret mode on the CPU backend (conftest): the kernel's jnp body
+executes with identical semantics to the TPU lowering modulo Mosaic bugs, so
+these tests pin the ESTIMATOR equivalence; TPU-only lowering issues are
+caught by bench/integration runs on hardware.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uivr_tpu.config import cube_test_scene, smoke_scene
+from uivr_tpu.integrators import VolpathConfig
+from uivr_tpu.integrators import volpath_flat as vf
+from uivr_tpu.ops import volpath_step as vk
+from uivr_tpu.scene import Scene, finalize_medium
+from uivr_tpu.scene.camera import sample_rays
+
+
+def _setup(bundle, n=1024, seed=3):
+    sc = Scene(medium=finalize_medium(bundle.params, bundle.medium_cfg,
+                                      bundle.to_world),
+               emitter=bundle.emitter, cameras=bundle.cameras)
+    rng = np.random.RandomState(seed)
+    uv = jnp.asarray(rng.rand(n, 2) * 0.6 + 0.2, jnp.float32)
+    o, d = sample_rays(bundle.cameras, jnp.zeros((n,), jnp.int32), uv)
+    return sc, o, d
+
+
+@pytest.fixture(scope="module")
+def cube():
+    return _setup(cube_test_scene())
+
+
+@pytest.fixture(scope="module")
+def smoke():
+    return _setup(smoke_scene(res=16, resx=32, resy=32, n_sensors=2))
+
+
+def _compare(sc, o, d, cfg, tol_frac=0.015):
+    seed = jnp.uint32(42)
+    Lf, ef = vf.sample_primal(cfg, sc, o, d, seed)
+    Lp, ep = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                     interpret=True)
+    Lf, ef, Lp, ep = jax.device_get((Lf, ef, Lp, ep))
+    agree = np.mean(np.all(np.abs(Lf - Lp) < 1e-5, axis=-1))
+    # lanes may flip at float boundaries (different-but-equivalent paths);
+    # the overwhelming majority must match exactly and the means must agree
+    assert agree > 1.0 - tol_frac, f"lane agreement {agree}"
+    np.testing.assert_allclose(Lf.mean(0), Lp.mean(0), rtol=0.05, atol=5e-3)
+    return Lp
+
+
+def test_kernel_matches_flat_constant(cube):
+    sc, o, d = cube
+    assert vk.pallas_supported(sc, o.shape[0])
+    _compare(sc, o, d, VolpathConfig(max_depth=8, rr_depth=5))
+
+
+def test_kernel_matches_flat_envmap(smoke):
+    sc, o, d = smoke
+    assert vk.pallas_supported(sc, o.shape[0])
+    _compare(sc, o, d, VolpathConfig(max_depth=8))
+
+
+def test_kernel_matches_flat_no_nee(smoke):
+    """Without NEE the only cross-engine differences are 1-ulp float
+    boundary path flips; almost all lanes must agree exactly."""
+    sc, o, d = smoke
+    _compare(sc, o, d, VolpathConfig(max_depth=6, use_nee=False),
+             tol_frac=0.005)
+
+
+def test_kernel_compaction_exact(smoke):
+    """Compaction rounds must not change the realization (lane-independent
+    RNG), exactly as for the flat engine.  The explicit stage sizes force
+    REAL shrink stages (the default schedule's 8192 floor would skip them
+    at this n)."""
+    sc, o, d = smoke
+    cfg = VolpathConfig(max_depth=8)
+    seed = jnp.uint32(11)
+    La, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True)
+    Lb, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed,
+                                    schedule=(8, (512, 16), (256, None)),
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(La), np.asarray(Lb))
+
+
+def test_render_dispatch_pallas(smoke):
+    """engine='pallas' must flow through the render op (primal) and produce
+    an image statistically matching engine='flat'."""
+    from uivr_tpu.render import RenderSettings, make_render, \
+        sample_batch_pixels
+    b = smoke_scene(res=16, resx=32, resy=32, n_sensors=2)
+    for engine in ("flat", "pallas"):
+        cfg = VolpathConfig(max_depth=6, engine=engine)
+        st = RenderSettings(integrator=cfg, medium=b.medium_cfg,
+                            film_size=b.film_size, spp=8, spp_grad=2)
+        render = make_render(st, b.to_world)
+        si, px = sample_batch_pixels(jnp.uint32(1), 2, b.film_size, 64)
+        img = render(b.params, b.emitter, b.cameras, si, px, jnp.uint32(3),
+                     jnp.uint32(4))
+        if engine == "flat":
+            ref = np.asarray(img)
+        else:
+            got = np.asarray(img)
+            np.testing.assert_allclose(got.mean(), ref.mean(), rtol=0.05)
+
+
+def test_tea_i32_bit_exact():
+    from uivr_tpu.core.rng import tea, _to_unit_float
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randint(0, 2**31, (64, 128)), jnp.int32)
+    b = jnp.asarray(rng.randint(0, 2**31, (64, 128)), jnp.int32)
+    b0i, b1i = vk.tea_i32(a, b)
+    b0u, b1u = tea(a.view(jnp.uint32), b.view(jnp.uint32), rounds=8)
+    assert (b0i.view(jnp.uint32) == b0u).all()
+    assert (b1i.view(jnp.uint32) == b1u).all()
+    assert (vk._unit_float(b0i) == _to_unit_float(b0u)).all()

@@ -42,11 +42,10 @@ from ..core.rng import LaneSampler, make_lane_sampler
 from ..integrators.volpath_flat import (DONE, MAIN, SHADOW, _FlatCarry,
                                         _finish, _init_carry, _run_rounds)
 from ..integrators.volpathsimple import VolpathConfig
-from ..scene.emitters import ConstantEmitter, _INV_FOUR_PI
-from ..scene.medium import sigma_albedo_at
+from ..scene.emitters import ConstantEmitter, EnvmapEmitter, _INV_FOUR_PI
 from ..scene.scene import Scene
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)     # python scalar: kernels may not capture arrays
 
 # TEA constants as int32 bit patterns (Mosaic lacks uint32->f32 casts; int32
 # two's-complement +, <<, ^ are bit-identical; >> via shift_right_logical).
@@ -95,48 +94,80 @@ class StepSpec:
     rr_depth: int
     use_nee: bool
     phase_iso: bool
+    emitter_kind: str = "const"     # 'const' | 'envmap'
+    em_h: int = 0                   # envmap dims (texels = em_h * em_w_)
+    em_w_: int = 0
     interpret: bool = False
 
     @property
     def n_chunks(self) -> int:
         return -(-self.Dc * self.Hc * self.Wc // 128)
 
+    @property
+    def em_chunks(self) -> int:
+        return -(-self.em_h * self.em_w_ // 128)
+
 
 class StepTables(NamedTuple):
     maj: jnp.ndarray     # (n_chunks, 128) majorant supergrid, scale folded
-    scal: jnp.ndarray    # (1, 16) SMEM: w2l[0:9], phase_g[9], em_w[10:13],
-    #                       do_post[13]
+    em: jnp.ndarray      # (7*em_chunks, 128): [a_p, a_idx, pmf_s, pmf_a,
+    #                      rad_r, rad_g, rad_b] chunk-rows; (1,128) zeros if
+    #                      constant emitter
+    scal: jnp.ndarray    # (1, 24) SMEM: w2l[0:9], phase_g[9], em_w[10:13],
+    #                      do_post[13], em_to_world[14:23]
 
 
-def build_tables(scene: Scene, do_post_placeholder: bool = True) -> StepTables:
+def build_tables(scene: Scene) -> StepTables:
     m = scene.medium
     Tm = int(np.prod(m.majorant_grid.shape))
     nc = -(-Tm // 128)
     maj = jnp.pad(m.majorant_grid.reshape(-1),
                   (0, nc * 128 - Tm)).reshape(nc, 128)
-    em_w = scene.emitter.radiance / _INV_FOUR_PI
     w2l = m.world_to_local[:3, :3].reshape(9)
+    if isinstance(scene.emitter, EnvmapEmitter):
+        e = scene.emitter
+        N = e.flat_data.shape[0]
+        enc = -(-N // 128)
+
+        def ch(x):
+            return jnp.pad(x, (0, enc * 128 - N)).reshape(enc, 128)
+
+        em = jnp.concatenate([
+            ch(e.alias_tab[:, 0]), ch(e.alias_tab[:, 1]),
+            ch(e.alias_tab[:, 2]), ch(e.alias_tab[:, 3]),
+            ch(e.flat_data[:, 0]), ch(e.flat_data[:, 1]),
+            ch(e.flat_data[:, 2])], axis=0)
+        em_const = jnp.zeros(3, jnp.float32)
+        em2w = e.to_world.reshape(9)
+    else:
+        em = jnp.zeros((1, 128), jnp.float32)
+        em_const = scene.emitter.radiance / _INV_FOUR_PI
+        em2w = jnp.zeros(9, jnp.float32)
     scal = jnp.concatenate([
-        w2l, m.phase_g[None], em_w,
-        jnp.zeros(3, jnp.float32)]).reshape(1, 16)
-    return StepTables(maj=maj, scal=scal)
+        w2l, m.phase_g[None], em_const, jnp.zeros(1, jnp.float32),
+        em2w, jnp.zeros(1, jnp.float32)]).reshape(1, 24)
+    return StepTables(maj=maj, em=em, scal=scal)
 
 
-def _chunk_shuffle(maj_ref, idx):
-    """Gather maj[idx] for idx (R, 128) in [0, 128*n_chunks): one 128-lane
-    shuffle + select per chunk row."""
+def _chunk_shuffle(ref, idx, base: int = 0, n_chunks: int = None):
+    """Gather table[idx] for idx (R, 128) in [0, 128*n_chunks), the table
+    stored as chunk rows ``ref[base : base+n_chunks]``: one 128-lane shuffle
+    + select per chunk row (the only gather Mosaic lowers here)."""
+    if n_chunks is None:
+        n_chunks = ref.shape[0]
     local = idx & 127
     chunk = idx >> 7
     out = jnp.zeros(idx.shape, jnp.float32)
-    for c in range(maj_ref.shape[0]):
+    for c in range(n_chunks):
         g = jnp.take_along_axis(
-            jnp.broadcast_to(maj_ref[c:c + 1, :], idx.shape), local, axis=1)
+            jnp.broadcast_to(ref[base + c:base + c + 1, :], idx.shape),
+            local, axis=1)
         out = jnp.where(chunk == c, g, out)
     return out
 
 
-def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
-                 a2_ref, *refs):
+def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
+                 a1_ref, a2_ref, *refs):
     v = {k: r[...] for k, r in zip(ALL_PLANES, refs[:N_ALL])}
     outs = dict(zip(ALL_PLANES, refs[N_ALL:]))
 
@@ -254,9 +285,9 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
     wox = cp * (1.0 + sign * dwx * dwx * a_) + sp * b_ + cos_theta * dwx
     woy = cp * (sign * b_) + sp * (sign + dwy * dwy * a_) + cos_theta * dwy
     woz = cp * (-sign * dwx) + sp * (-dwy) + cos_theta * dwz
-    inv_n = jax.lax.rsqrt(jnp.maximum(wox * wox + woy * woy + woz * woz,
-                                      1e-30))
-    wox, woy, woz = wox * inv_n, woy * inv_n, woz * inv_n
+    # exact-match normalization (scene/phase.py uses norm-then-divide)
+    nrm = jnp.sqrt(wox * wox + woy * woy + woz * woz)
+    wox, woy, woz = wox / nrm, woy / nrm, woz / nrm
 
     dwx_n = jnp.where(scat, wox, dwx)
     dwy_n = jnp.where(scat, woy, dwy)
@@ -271,23 +302,76 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
     ox = jnp.where(scat, px, v["ox"])
     oy = jnp.where(scat, py, v["oy"])
     oz = jnp.where(scat, pz, v["oz"])
-    cont_maxt = jnp.minimum(exit_dist(ox, oy, oz, dlx, dly, dlz), _BIG * 1e7)
+    cont_maxt = exit_dist(ox, oy, oz, dlx, dly, dlz)
     maxt = jnp.where(scat, cont_maxt, v["maxt"])
     t = jnp.where(scat, 0.0, t)
     acc_escape = scat & (cont_maxt <= 1e-7)
     resume_main = ~acc_escape
 
-    # ---- NEE direction sampling (constant emitter) -----------------------
+    # ---- NEE direction sampling (emitters.py sample_direction port) ------
     if spec.use_nee:
         u_e1 = draw(scat)
         u_e2 = draw(scat)
-        zdir = 1.0 - 2.0 * u_e1
-        rr_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
-        phie = jnp.float32(2.0 * np.pi) * u_e2
-        dsx = rr_ * jnp.cos(phie)
-        dsy = zdir
-        dsz = rr_ * jnp.sin(phie)
-        nee_ok = scat                       # constant-emitter pdf > 0
+        if spec.emitter_kind == "envmap":
+            # Walker alias sampling (emitters.py:119-147): 7 chunk-shuffled
+            # table reads (4 alias channels at `slot`, radiance at `texel`).
+            He, We = spec.em_h, spec.em_w_
+            N = He * We
+            nc = spec.em_chunks
+            scaled = u_e1 * N
+            slot = jnp.clip(scaled.astype(jnp.int32), 0, N - 1)
+            frac = scaled - slot.astype(jnp.float32)
+            a_p = _chunk_shuffle(em_ref, slot, 0 * nc, nc)
+            a_idx = _chunk_shuffle(em_ref, slot, 1 * nc, nc)
+            pmf_s = _chunk_shuffle(em_ref, slot, 2 * nc, nc)
+            pmf_a = _chunk_shuffle(em_ref, slot, 3 * nc, nc)
+            keep = frac < a_p
+            texel = jnp.where(keep, slot, a_idx.astype(jnp.int32))
+            pmf = jnp.where(keep, pmf_s, pmf_a)
+            row = texel // We
+            col = texel - row * We
+            ue = (col.astype(jnp.float32) + u_e2) / We
+            dv = jnp.where(keep, frac / jnp.maximum(a_p, 1e-20),
+                           (frac - a_p) / jnp.maximum(1.0 - a_p, 1e-20))
+            ve = (row.astype(jnp.float32)
+                  + jnp.clip(dv, 0.0, 1.0 - 1e-6)) / He
+            phie = ue * jnp.float32(2.0 * np.pi)
+            thetae = ve * jnp.float32(np.pi)
+            st_ = jnp.sin(thetae)
+            dlx_e = st_ * jnp.cos(phie)
+            dly_e = jnp.cos(thetae)
+            dlz_e = st_ * jnp.sin(phie)
+            # world dir = em_to_world @ dl
+            dsx = (scal_ref[0, 14] * dlx_e + scal_ref[0, 15] * dly_e
+                   + scal_ref[0, 16] * dlz_e)
+            dsy = (scal_ref[0, 17] * dlx_e + scal_ref[0, 18] * dly_e
+                   + scal_ref[0, 19] * dlz_e)
+            dsz = (scal_ref[0, 20] * dlx_e + scal_ref[0, 21] * dly_e
+                   + scal_ref[0, 22] * dlz_e)
+            sin_t = jnp.sin(jnp.clip(ve, 1e-4, 1.0 - 1e-4)
+                            * jnp.float32(np.pi))
+            ds_pdf = (pmf * N) / (jnp.float32(2.0 * np.pi * np.pi) * sin_t)
+            val0 = _chunk_shuffle(em_ref, texel, 4 * nc, nc)
+            val1 = _chunk_shuffle(em_ref, texel, 5 * nc, nc)
+            val2 = _chunk_shuffle(em_ref, texel, 6 * nc, nc)
+            inv_pdf = jnp.where(ds_pdf > 0.0,
+                                1.0 / jnp.maximum(ds_pdf, 1e-20), 0.0)
+            ew0 = val0 * inv_pdf
+            ew1 = val1 * inv_pdf
+            ew2 = val2 * inv_pdf
+            nee_ok = scat & (ds_pdf > 0.0)
+        else:
+            zdir = 1.0 - 2.0 * u_e1
+            rr_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
+            phie = jnp.float32(2.0 * np.pi) * u_e2
+            dsx = rr_ * jnp.cos(phie)
+            dsy = zdir
+            dsz = rr_ * jnp.sin(phie)
+            ds_pdf = jnp.full_like(u_e1, _INV_FOUR_PI)
+            ew0 = jnp.full_like(u_e1, 1.0) * em_w[0]
+            ew1 = jnp.full_like(u_e1, 1.0) * em_w[1]
+            ew2 = jnp.full_like(u_e1, 1.0) * em_w[2]
+            nee_ok = scat                   # constant-emitter pdf > 0
         cth = dwx * dsx + dwy * dsy + dwz * dsz
         if spec.phase_iso:
             phv = jnp.full_like(cth, _INV_FOUR_PI)
@@ -296,9 +380,9 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
             den = 1.0 + g2 - 2.0 * g * cth
             phv = jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
                 den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12)
-        ds_pdf = jnp.float32(_INV_FOUR_PI)
         a2 = ds_pdf * ds_pdf
-        wmis = a2 / jnp.maximum(a2 + phv * phv, 1e-30)
+        wmis = jnp.where(ds_pdf > 0.0,
+                         a2 / jnp.maximum(a2 + phv * phv, 1e-30), 0.0)
         sdx, sdy, sdz = w2l_mul(dsx, dsy, dsz)
         base = phv * wmis
 
@@ -307,15 +391,17 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
         shdz = jnp.where(nee_ok, sdz, v["shdz"])
         shtmax = jnp.where(nee_ok, exit_dist(ox, oy, oz, sdx, sdy, sdz),
                            v["shtmax"])
-        shb0 = jnp.where(nee_ok, thr0 * base * em_w[0], v["shb0"])
-        shb1 = jnp.where(nee_ok, thr1 * base * em_w[1], v["shb1"])
-        shb2 = jnp.where(nee_ok, thr2 * base * em_w[2], v["shb2"])
+        shb0 = jnp.where(nee_ok, thr0 * base * ew0, v["shb0"])
+        shb1 = jnp.where(nee_ok, thr1 * base * ew1, v["shb1"])
+        shb2 = jnp.where(nee_ok, thr2 * base * ew2, v["shb2"])
         sht = jnp.where(nee_ok, 0.0, sht)
         shtr = jnp.where(nee_ok, 1.0, shtr)
         flags = jnp.where(scat,
                           jnp.where(resume_main, flags | FL_POST,
                                     flags & ~FL_POST), flags)
-        mode = jnp.where(nee_ok, SHADOW, mode)
+        mode = jnp.where(nee_ok, SHADOW,
+                         jnp.where(scat & ~nee_ok,
+                                   jnp.where(resume_main, MAIN, DONE), mode))
     else:
         shdx, shdy, shdz = v["shdx"], v["shdy"], v["shdz"]
         shtmax = v["shtmax"]
@@ -384,17 +470,38 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, sig_ref, a0_ref, a1_ref,
 
 @functools.lru_cache(maxsize=64)
 def _make_call(spec: StepSpec):
-    V = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Row-slab grid: the state (39 planes x R x 128 f32) exceeds VMEM at
+    # full wavefront width, so each grid step processes an Rb-row slab while
+    # the tables stay resident (index_map (0, 0)).
+    Rb = min(spec.R, 256)
+    while spec.R % Rb:
+        Rb //= 2
+
+    def slab(r):
+        return (r, 0)
+
+    def fixed(r):
+        return (0, 0)
+
+    state = pl.BlockSpec((Rb, 128), slab, memory_space=pltpu.VMEM)
+    nc = max(spec.n_chunks, 1)
+    emr = max(7 * spec.em_chunks, 1)
+    in_specs = [
+        pl.BlockSpec((1, 24), fixed, memory_space=pltpu.SMEM),
+        pl.BlockSpec((nc, 128), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((emr, 128), fixed, memory_space=pltpu.VMEM),
+        state, state, state, state,            # sig, albedo x3
+    ] + [state] * N_ALL
     dtypes = ([jnp.float32] * len(F32_PLANES) + [jnp.int32] * len(I32_PLANES)
               + [jnp.float32] * len(PRE_PLANES))
     out_shape = [jax.ShapeDtypeStruct((spec.R, 128), dt) for dt in dtypes]
-    aliases = {6 + i: i for i in range(N_ALL)}
+    aliases = {7 + i: i for i in range(N_ALL)}
     return pl.pallas_call(
         functools.partial(_step_kernel, spec),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), V, V, V, V, V]
-        + [V] * N_ALL,
-        out_specs=[V] * N_ALL,
+        grid=(spec.R // Rb,),
+        in_specs=in_specs,
+        out_specs=[state] * N_ALL,
         input_output_aliases=aliases,
         interpret=spec.interpret,
     )
@@ -468,8 +575,11 @@ def pallas_supported(scene: Scene, n: int, cfg: VolpathConfig = None) -> bool:
     """Static gate for the kernel engine (fallback: XLA flat engine)."""
     m = scene.medium
     Tm = int(np.prod(m.majorant_grid.shape))
-    return (isinstance(scene.emitter, ConstantEmitter)
-            and m.combined_ct is not None
+    if isinstance(scene.emitter, EnvmapEmitter):
+        em_ok = scene.emitter.flat_data.shape[0] <= 8192
+    else:
+        em_ok = isinstance(scene.emitter, ConstantEmitter)
+    return (em_ok and m.combined_ct is not None
             and Tm <= 2048
             and n % 128 == 0 and n >= 1024)
 
@@ -491,32 +601,60 @@ def _planes_put(full: PlanesCarry, sub: PlanesCarry,
         it=sub.it)
 
 
+def _sigma_albedo_planes(m, px, py, pz):
+    """Planes-native trilinear sigma/albedo: numerically identical to
+    medium.sigma_albedo_at / grids.trilinear_sample_ct, without the
+    (n, 3) stack round-trip.  The ONE XLA row gather of the hybrid loop."""
+    D, H, W, _ = m.params.sigma_t.shape
+
+    def axis(p, nodes):
+        res = jnp.float32(nodes - 1)
+        x = jnp.clip(p, 0.0, 1.0) * res
+        i0 = jnp.clip(jnp.floor(x), 0.0, jnp.maximum(res - 1.0, 0.0))
+        f = x - i0
+        return i0.astype(jnp.int32), (f if nodes > 1 else jnp.zeros_like(f))
+
+    ix, fx = axis(px, W)
+    iy, fy = axis(py, H)
+    iz, fz = axis(pz, D)
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    cell = (iz * (H - 1) + iy) * (W - 1) + ix
+    rows = m.combined_ct[cell]                       # (..., 32) row gather
+    vals = rows.reshape(rows.shape[:-1] + (8, 4))
+    w = jnp.stack([gz * gy * gx, gz * gy * fx, gz * fy * gx, gz * fy * fx,
+                   fz * gy * gx, fz * gy * fx, fz * fy * gx, fz * fy * fx],
+                  axis=-1)
+    out = jnp.sum(vals * w[..., None], axis=-2)      # (..., 4)
+    return out[..., 0] * m.scale, out[..., 1], out[..., 2], out[..., 3]
+
+
 def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
+    if isinstance(scene.emitter, EnvmapEmitter):
+        He, We, _ = scene.emitter.data.shape
+        ek = "envmap"
+    else:
+        He = We = 0
+        ek = "const"
     spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
-                    interpret=interpret)
+                    emitter_kind=ek, em_h=He, em_w_=We, interpret=interpret)
     call = _make_call(spec)
     tables = build_tables(scene)
-    n = R * 128
 
     def step(pc: PlanesCarry, do_post: bool) -> PlanesCarry:
         d = dict(zip(ALL_PLANES, pc.planes))
         if do_post:
-            p = jnp.stack([d["px"].reshape(n), d["py"].reshape(n),
-                           d["pz"].reshape(n)], axis=-1)
-            sig, alb = sigma_albedo_at(m, p)     # the one XLA row gather
-            sig = sig.reshape(R, 128)
-            a0 = alb[:, 0].reshape(R, 128)
-            a1 = alb[:, 1].reshape(R, 128)
-            a2 = alb[:, 2].reshape(R, 128)
+            sig, a0, a1, a2 = _sigma_albedo_planes(m, d["px"], d["py"],
+                                                   d["pz"])
         else:
             sig = jnp.zeros((R, 128), jnp.float32)
             a0 = a1 = a2 = sig
         scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
-        planes = call(scal, tables.maj, sig, a0, a1, a2, *pc.planes)
+        planes = call(scal, tables.maj, tables.em, sig, a0, a1, a2,
+                      *pc.planes)
         return PlanesCarry(planes=tuple(planes),
                            it=pc.it + (1 if do_post else 0))
     return step
@@ -524,9 +662,14 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
 
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          schedule=(96, None, None), path_state=None,
-                         interpret: bool = False):
+                         interpret: bool = None):
     """Drop-in for volpath_flat.sample_primal_compact on supported scenes
-    (same estimator, same TEA draw sequence; Pallas fused step kernel)."""
+    (same estimator, same TEA draw sequence; Pallas fused step kernel).
+    ``interpret=None``: compile on TPU, interpret elsewhere (CPU tests)."""
+    if interpret is None:
+        # compile for real TPU backends (incl. the axon relay plugin);
+        # interpret elsewhere (CPU test backend)
+        interpret = jax.default_backend() == "cpu"
     n = (o if path_state is None else path_state.o_l).shape[0]
     assert n % 128 == 0, n
     R = n // 128
@@ -539,7 +682,8 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
     pc = steps[n](pc, do_post=False)        # prime the first candidate
 
     def active_of(c: PlanesCarry):
-        return c.mode_plane != DONE
+        # flat (n,): _run_rounds argsorts this for compaction
+        return (c.mode_plane != DONE).reshape(-1)
 
     def step_dispatch(c: PlanesCarry) -> PlanesCarry:
         sz = c.planes[0].shape[0] * 128
@@ -556,7 +700,7 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
             sched.append(st if st is not None else
                          defaults[i] if i < len(defaults) else (n, None))
         for sz, _ in sched[1:]:
-            if sz < n and sz % 128 == 0 and sz >= 1024 and sz not in steps:
+            if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
                 steps[sz] = _make_step(cfg, scene, sz // 128, interpret)
         sched = [sched[0]] + [(sz if sz in steps else n, it)
                               for sz, it in sched[1:]]
