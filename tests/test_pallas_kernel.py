@@ -110,6 +110,73 @@ def test_render_dispatch_pallas(smoke):
             np.testing.assert_allclose(got.mean(), ref.mean(), rtol=0.05)
 
 
+def test_kernel_adjoint_matches_flat(smoke):
+    """Pallas adjoint vs XLA flat adjoint: same estimator + streams, so the
+    gradient realizations agree up to float-boundary path flips."""
+    sc, o, d = smoke
+    n = o.shape[0]
+    cfg = VolpathConfig(max_depth=8, trans_grad_samples=2)
+    seed = jnp.uint32(17)
+    rng = np.random.RandomState(2)
+    dL = jnp.asarray(rng.rand(n, 3), jnp.float32) / n
+    Lf, _ = vf.sample_primal(cfg, sc, o, d, seed)
+    gf = vf.sample_adjoint(cfg, sc, o, d, seed, dL, Lf, schedule=None)
+    Lp, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True)
+    gp = vk.sample_adjoint_pallas(cfg, sc, o, d, seed, dL, Lp,
+                                  schedule=None, interpret=True)
+    for a, b in zip((gf.sigma_t, gf.albedo), (gp.sigma_t, gp.albedo)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).sum() / max(np.abs(a).sum(), 1e-12)
+        assert rel < 0.05, rel
+
+
+def test_kernel_adjoint_compaction_exact(smoke):
+    sc, o, d = smoke
+    n = o.shape[0]
+    cfg = VolpathConfig(max_depth=8, trans_grad_samples=2)
+    seed = jnp.uint32(13)
+    dL = jnp.full((n, 3), 1.0 / (3 * n), jnp.float32)
+    Lp, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True)
+    g1 = vk.sample_adjoint_pallas(cfg, sc, o, d, seed, dL, Lp,
+                                  schedule=None, interpret=True)
+    g2 = vk.sample_adjoint_pallas(cfg, sc, o, d, seed, dL, Lp,
+                                  schedule=(8, (512, 16), (256, None)),
+                                  interpret=True)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_render_grad_dispatch_pallas():
+    """engine='pallas' full value_and_grad through the render op."""
+    from uivr_tpu.render import RenderSettings, make_render, \
+        sample_batch_pixels
+    from uivr_tpu.opt import losses
+    b = smoke_scene(res=16, resx=32, resy=32, n_sensors=2)
+    grads = {}
+    for engine in ("flat", "pallas"):
+        cfg = VolpathConfig(max_depth=6, engine=engine)
+        st = RenderSettings(integrator=cfg, medium=b.medium_cfg,
+                            film_size=b.film_size, spp=4, spp_grad=2)
+        render = make_render(st, b.to_world)
+        si, px = sample_batch_pixels(jnp.uint32(1), 2, b.film_size, 128)
+        ref = jnp.full((128, 3), 0.3, jnp.float32)
+
+        def f(p):
+            img = render(p, b.emitter, b.cameras, si, px, jnp.uint32(3),
+                         jnp.uint32(4))
+            return losses.l1(img, ref)
+        loss, g = jax.value_and_grad(f)(b.params)
+        assert np.isfinite(float(loss))
+        grads[engine] = g
+    a = np.asarray(grads["flat"].sigma_t)
+    c = np.asarray(grads["pallas"].sigma_t)
+    rel = np.abs(a - c).sum() / max(np.abs(a).sum(), 1e-12)
+    assert rel < 0.05, rel
+
+
 def test_tea_i32_bit_exact():
     from uivr_tpu.core.rng import tea, _to_unit_float
     rng = np.random.RandomState(0)

@@ -39,8 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.rng import LaneSampler, make_lane_sampler
-from ..integrators.volpath_flat import (DONE, MAIN, SHADOW, _FlatCarry,
-                                        _finish, _init_carry, _run_rounds)
+from ..integrators.volpath_flat import (DONE, MAIN, REPLAY, SHADOW,
+                                        _FlatCarry, _finish, _init_carry,
+                                        _run_rounds)
 from ..integrators.volpathsimple import VolpathConfig
 from ..scene.emitters import ConstantEmitter, EnvmapEmitter, _INV_FOUR_PI
 from ..scene.scene import Scene
@@ -82,6 +83,27 @@ ALL_PLANES = F32_PLANES + I32_PLANES + PRE_PLANES
 N_STATE = len(F32_PLANES) + len(I32_PLANES)
 N_ALL = N_STATE + len(PRE_PLANES)
 
+# Adjoint-only carried planes (volpath_flat._FlatAdjCarry as SoA planes;
+# the DRT reservoir is inlined, `rvact` holds its active bit).
+ADJ_F32 = ("rpt", "rptr", "sha0", "sha1", "sha2", "adj0", "adj1", "adj2",
+           "rw0", "rw1", "rw2", "rc0", "rc1", "rc2",
+           "rvo0", "rvo1", "rvo2", "rvl0", "rvl1", "rvl2",
+           "rvw0", "rvw1", "rvw2", "rvmaxt")
+ADJ_I32 = ("alth", "altd", "rpdim", "shdim0", "rvdepth", "rvact")
+ADJ_PLANES = ADJ_F32 + ADJ_I32
+N_ADJ = N_ALL + len(ADJ_PLANES)
+
+
+def _scatter_outs(tgs: int):
+    """Output-only planes: per-step cotangents/positions the XLA side
+    scatter-adds into the gradient tables (replay cot is folded into
+    sc_sig — same point p as the in-scattering scatter)."""
+    names = ["sc_sig", "sc_a0", "sc_a1", "sc_a2"]
+    for k in range(tgs):
+        names += [f"tc{k}", f"tsx{k}", f"tsy{k}", f"tsz{k}"]
+    return tuple(names)
+
+
 FL_ESC, FL_SCAT, FL_POST = 1, 2, 4
 
 
@@ -97,7 +119,16 @@ class StepSpec:
     emitter_kind: str = "const"     # 'const' | 'envmap'
     em_h: int = 0                   # envmap dims (texels = em_h * em_w_)
     em_w_: int = 0
+    adjoint: bool = False
+    tgs: int = 0                    # trans_grad_samples (adjoint only)
+    use_drt: bool = False
+    use_drt_mis: bool = False
+    use_drt_sub: bool = False
     interpret: bool = False
+
+    @property
+    def n_planes(self) -> int:
+        return N_ADJ if self.adjoint else N_ALL
 
     @property
     def n_chunks(self) -> int:
@@ -168,8 +199,11 @@ def _chunk_shuffle(ref, idx, base: int = 0, n_chunks: int = None):
 
 def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
                  a1_ref, a2_ref, *refs):
-    v = {k: r[...] for k, r in zip(ALL_PLANES, refs[:N_ALL])}
-    outs = dict(zip(ALL_PLANES, refs[N_ALL:]))
+    planes = ALL_PLANES + (ADJ_PLANES if spec.adjoint else ())
+    out_names = planes + (_scatter_outs(spec.tgs) if spec.adjoint else ())
+    np_ = spec.n_planes
+    v = {k: r[...] for k, r in zip(planes, refs[:np_])}
+    outs = dict(zip(out_names, refs[np_:]))
 
     g = scal_ref[0, 9]
     em_w = (scal_ref[0, 10], scal_ref[0, 11], scal_ref[0, 12])
@@ -203,9 +237,16 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     mode = v["mode"]
     is_main = mode == MAIN
     is_sh = mode == SHADOW
-    walking = is_main | is_sh
+    if spec.adjoint:
+        is_rp = mode == REPLAY
+        walking = is_main | is_sh | is_rp
+    else:
+        is_rp = jnp.zeros_like(is_main)
+        walking = is_main | is_sh
     wmax = jnp.where(is_main, v["maxt"], v["shtmax"])
     wt = jnp.where(is_main, v["t"], v["sht"])
+    if spec.adjoint:
+        wt = jnp.where(is_rp, v["rpt"], wt)
 
     t_cand, t_exit = v["tcand"], v["texit"]
     sigma_maj, u_evt = v["smaj"], v["uevt"]
@@ -228,11 +269,19 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     shtr = jnp.where(sh_coll, v["shtr"] * ratio, v["shtr"])
     sht = jnp.where(post & is_sh, t_next, v["sht"])
     sh_done = post & is_sh & (fin_seg | (shtr <= 0.0))
-    res0 = v["res0"] + jnp.where(sh_done, v["shb0"] * shtr, 0.0)
-    res1 = v["res1"] + jnp.where(sh_done, v["shb1"] * shtr, 0.0)
-    res2 = v["res2"] + jnp.where(sh_done, v["shb2"] * shtr, 0.0)
     post_main = (v["flags"] & FL_POST) != 0
-    mode = jnp.where(sh_done, jnp.where(post_main, MAIN, DONE), mode)
+    if spec.adjoint:
+        # PRB: subtract the completed NEE contribution and schedule its
+        # REPLAY transmittance re-walk (volpath_flat.py:582-591)
+        res0 = v["res0"] - jnp.where(sh_done, v["shb0"] * shtr, 0.0)
+        res1 = v["res1"] - jnp.where(sh_done, v["shb1"] * shtr, 0.0)
+        res2 = v["res2"] - jnp.where(sh_done, v["shb2"] * shtr, 0.0)
+        mode = jnp.where(sh_done, REPLAY, mode)
+    else:
+        res0 = v["res0"] + jnp.where(sh_done, v["shb0"] * shtr, 0.0)
+        res1 = v["res1"] + jnp.where(sh_done, v["shb1"] * shtr, 0.0)
+        res2 = v["res2"] + jnp.where(sh_done, v["shb2"] * shtr, 0.0)
+        mode = jnp.where(sh_done, jnp.where(post_main, MAIN, DONE), mode)
 
     # ---- MAIN walk (volpath_flat.py:221-246) -----------------------------
     real = is_main & collided & (u_evt < r)
@@ -408,14 +457,140 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
         shb0, shb1, shb2 = v["shb0"], v["shb1"], v["shb2"]
         mode = jnp.where(scat, jnp.where(resume_main, MAIN, DONE), mode)
 
+    # ============ ADJOINT: cotangents + replay bookkeeping ================
+    # (volpath_flat.sample_adjoint body, lines 540-611; scatter-adds are
+    # emitted as output planes and applied by the XLA side)
+    if spec.adjoint:
+        adj0, adj1, adj2 = v["adj0"], v["adj1"], v["adj2"]
+        alth = v["alth"]
+        altd = v["altd"]
+
+        def draw_alt(consume):
+            nonlocal altd
+            bits, _ = tea_i32(alth, altd)
+            altd = altd + consume.astype(jnp.int32)
+            return _unit_float(bits)
+
+        # ---- free-flight/MIS in-scattering gradients ----------------------
+        if (not spec.use_drt) or spec.use_drt_mis:
+            if spec.use_drt and spec.use_drt_mis:
+                wf = sig / (1.0 + sig * sig)
+            else:
+                wf = 1.0 / jnp.maximum(sig, 1e-8)
+            b0_ = adj0 * (v["res0"] / jnp.maximum(alb0, 1e-8)) * wf
+            b1_ = adj1 * (v["res1"] / jnp.maximum(alb1, 1e-8)) * wf
+            b2_ = adj2 * (v["res2"] / jnp.maximum(alb2, 1e-8)) * wf
+
+            def msk(x):
+                return jnp.where(real, x, 0.0)
+
+            sc_sig = msk(b0_ * alb0 + b1_ * alb1 + b2_ * alb2)
+            sc_a0 = msk(b0_ * sig)
+            sc_a1 = msk(b1_ * sig)
+            sc_a2 = msk(b2_ * sig)
+        else:
+            sc_sig = jnp.zeros_like(sig)
+            sc_a0 = sc_a1 = sc_a2 = sc_sig
+
+        seg_end = real | m_escape
+
+        # ---- DRT reservoir update (volpathsimple._reservoir_update) -------
+        if spec.use_drt and spec.use_drt_sub:
+            u_res = draw_alt(seg_end)
+            w0 = jnp.where(seg_end, v["thr0"], 0.0)
+            w1 = jnp.where(seg_end, v["thr1"], 0.0)
+            w2 = jnp.where(seg_end, v["thr2"], 0.0)
+            rw0 = v["rw0"] + w0
+            rw1 = v["rw1"] + w1
+            rw2 = v["rw2"] + w2
+
+            def rshare(wc, wsc):
+                return jnp.where(wsc > 0, wc / jnp.maximum(wsc, 1e-30), 0.0)
+
+            rratio = (rshare(w0, rw0) + rshare(w1, rw1)
+                      + rshare(w2, rw2)) * jnp.float32(1.0 / 3.0)
+            change = seg_end & (u_res <= rratio)
+
+            def rsel(new, old):
+                return jnp.where(change, new, old)
+
+            rc0 = rsel(w0, v["rc0"])
+            rc1 = rsel(w1, v["rc1"])
+            rc2 = rsel(w2, v["rc2"])
+            rvdepth = rsel(v["depth"], v["rvdepth"])
+            rvo0 = rsel(v["ox"], v["rvo0"])
+            rvo1 = rsel(v["oy"], v["rvo1"])
+            rvo2 = rsel(v["oz"], v["rvo2"])
+            rvl0 = rsel(v["dlx"], v["rvl0"])
+            rvl1 = rsel(v["dly"], v["rvl1"])
+            rvl2 = rsel(v["dlz"], v["rvl2"])
+            rvw0 = rsel(v["dwx"], v["rvw0"])
+            rvw1 = rsel(v["dwy"], v["rvw1"])
+            rvw2 = rsel(v["dwz"], v["rvw2"])
+            rvmaxt = rsel(v["maxt"], v["rvmaxt"])
+            rvact = v["rvact"] | change.astype(jnp.int32)
+        else:
+            rw0, rw1, rw2 = v["rw0"], v["rw1"], v["rw2"]
+            rc0, rc1, rc2 = v["rc0"], v["rc1"], v["rc2"]
+            rvdepth, rvmaxt, rvact = v["rvdepth"], v["rvmaxt"], v["rvact"]
+            rvo0, rvo1, rvo2 = v["rvo0"], v["rvo1"], v["rvo2"]
+            rvl0, rvl1, rvl2 = v["rvl0"], v["rvl1"], v["rvl2"]
+            rvw0, rvw1, rvw2 = v["rvw0"], v["rvw1"], v["rvw2"]
+
+        # ---- transmittance gradients (volpath_flat.py:573-580) ------------
+        interval = jnp.where(m_escape, v["maxt"], t_cand)
+        adj_w = adj0 * v["res0"] + adj1 * v["res1"] + adj2 * v["res2"]
+        inv_pdf = interval * jnp.float32(1.0 / max(spec.tgs, 1))
+        trans_rec = []
+        for _k in range(spec.tgs):
+            u_t = draw_alt(seg_end)
+            ut_i = u_t * interval
+            trans_rec.append((
+                jnp.where(seg_end, -adj_w * inv_pdf, 0.0),
+                v["ox"] + ut_i * v["dlx"],
+                v["oy"] + ut_i * v["dly"],
+                v["oz"] + ut_i * v["dlz"]))
+
+        # ---- shadow completion -> replay scheduling -----------------------
+        contrib0 = v["shb0"] * shtr
+        contrib1 = v["shb1"] * shtr
+        contrib2 = v["shb2"] * shtr
+        sha0 = jnp.where(sh_done, adj0 * contrib0, v["sha0"])
+        sha1 = jnp.where(sh_done, adj1 * contrib1, v["sha1"])
+        sha2 = jnp.where(sh_done, adj2 * contrib2, v["sha2"])
+        rpdim = jnp.where(sh_done, v["shdim0"], v["rpdim"])
+        rpt = jnp.where(sh_done, 0.0, v["rpt"])
+        rptr = jnp.where(sh_done, 1.0, v["rptr"])
+
+        # ---- REPLAY walk: transmittance cotangent at each null collision --
+        rp_coll = is_rp & collided
+        sigma_n = jnp.maximum(sigma_maj - sig, 1e-8)
+        rp_cot = jnp.where(rp_coll & (ratio > 0.0),
+                           -(v["sha0"] + v["sha1"] + v["sha2"]) / sigma_n,
+                           0.0)
+        sc_sig = sc_sig + rp_cot        # same point p: fused row scatter
+        rptr = jnp.where(rp_coll, rptr * ratio, rptr)
+        rpt = jnp.where(is_rp, t_next, rpt)
+        rpdim = jnp.where(is_rp, rpdim + 2, rpdim)
+        rp_fin = is_rp & (fin_seg | (rptr <= 0.0))
+        mode = jnp.where(rp_fin, jnp.where(post_main, MAIN, DONE), mode)
+
+        # ---- snapshot primary counter at shadow-walk start ----------------
+        shdim0 = jnp.where(scat, dim, v["shdim0"])
+
     # =================== PRE: candidate for step i+1 =======================
     n_main = mode == MAIN
     n_sh = mode == SHADOW
     n_walk = n_main | n_sh
+    if spec.adjoint:
+        n_rp = mode == REPLAY
+        n_walk = n_walk | n_rp
     wdx = jnp.where(n_main, dlx, shdx)
     wdy = jnp.where(n_main, dly, shdy)
     wdz = jnp.where(n_main, dlz, shdz)
     nwt = jnp.where(n_main, t, sht)
+    if spec.adjoint:
+        nwt = jnp.where(n_rp, rpt, nwt)
 
     # volpath_flat._cell_step
     eps = jnp.float32(1e-5) * (1.0 + jnp.abs(nwt))
@@ -445,9 +620,20 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
                     exit_axis(cy, float(spec.Hc), oy, wdy)),
         exit_axis(cz, float(spec.Dc), oz, wdz)), te)
 
-    consume = n_walk
-    u_step = draw(consume)
-    n_uevt = draw(consume)
+    if spec.adjoint:
+        # REPLAY lanes re-read the shadow walk's draws from the restored
+        # per-lane counter without consuming (volpath_flat.py:186-192)
+        consume = n_main | n_sh
+        u_step = draw(consume)
+        n_uevt = draw(consume)
+        rb1, _ = tea_i32(h, rpdim)
+        rb2, _ = tea_i32(h, rpdim + 1)
+        u_step = jnp.where(n_rp, _unit_float(rb1), u_step)
+        n_uevt = jnp.where(n_rp, _unit_float(rb2), n_uevt)
+    else:
+        consume = n_walk
+        u_step = draw(consume)
+        n_uevt = draw(consume)
     step = jnp.where(n_smaj > 0.0,
                      -jnp.log1p(-u_step) / jnp.maximum(n_smaj, 1e-20), _BIG)
     n_tcand = nwt + step
@@ -464,16 +650,34 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
         mode=mode, depth=depth, flags=flags, h=h, dim=dim,
         px=n_px, py=n_py, pz=n_pz, tcand=n_tcand, texit=n_texit,
         smaj=n_smaj, uevt=n_uevt)
-    for k in ALL_PLANES:
+    if spec.adjoint:
+        out_vals.update(
+            rpt=rpt, rptr=rptr, sha0=sha0, sha1=sha1, sha2=sha2,
+            adj0=adj0, adj1=adj1, adj2=adj2,
+            rw0=rw0, rw1=rw1, rw2=rw2, rc0=rc0, rc1=rc1, rc2=rc2,
+            rvo0=rvo0, rvo1=rvo1, rvo2=rvo2,
+            rvl0=rvl0, rvl1=rvl1, rvl2=rvl2,
+            rvw0=rvw0, rvw1=rvw1, rvw2=rvw2, rvmaxt=rvmaxt,
+            alth=alth, altd=altd, rpdim=rpdim, shdim0=shdim0,
+            rvdepth=rvdepth, rvact=rvact,
+            sc_sig=sc_sig, sc_a0=sc_a0, sc_a1=sc_a1, sc_a2=sc_a2)
+        for _k, (tc, tx, ty, tz) in enumerate(trans_rec):
+            out_vals[f"tc{_k}"] = tc
+            out_vals[f"tsx{_k}"] = tx
+            out_vals[f"tsy{_k}"] = ty
+            out_vals[f"tsz{_k}"] = tz
+    for k in out_names:
         outs[k][...] = out_vals[k]
 
 
 @functools.lru_cache(maxsize=64)
 def _make_call(spec: StepSpec):
-    # Row-slab grid: the state (39 planes x R x 128 f32) exceeds VMEM at
-    # full wavefront width, so each grid step processes an Rb-row slab while
-    # the tables stay resident (index_map (0, 0)).
-    Rb = min(spec.R, 256)
+    # Row-slab grid: the state (39+ planes x R x 128 f32) exceeds the
+    # scoped-VMEM window budget at full wavefront width, so each grid step
+    # processes an Rb-row slab while the tables stay resident (index_map
+    # (0, 0)).  Window cost ~= n_buffers * Rb * 1KB * 2 (double-buffered);
+    # vmem_limit_bytes raises Mosaic's default 16MB scoped budget.
+    Rb = min(spec.R, 128 if spec.adjoint else 256)
     while spec.R % Rb:
         Rb //= 2
 
@@ -486,23 +690,29 @@ def _make_call(spec: StepSpec):
     state = pl.BlockSpec((Rb, 128), slab, memory_space=pltpu.VMEM)
     nc = max(spec.n_chunks, 1)
     emr = max(7 * spec.em_chunks, 1)
+    n_planes = spec.n_planes
     in_specs = [
         pl.BlockSpec((1, 24), fixed, memory_space=pltpu.SMEM),
         pl.BlockSpec((nc, 128), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((emr, 128), fixed, memory_space=pltpu.VMEM),
         state, state, state, state,            # sig, albedo x3
-    ] + [state] * N_ALL
+    ] + [state] * n_planes
     dtypes = ([jnp.float32] * len(F32_PLANES) + [jnp.int32] * len(I32_PLANES)
               + [jnp.float32] * len(PRE_PLANES))
+    if spec.adjoint:
+        dtypes += ([jnp.float32] * len(ADJ_F32) + [jnp.int32] * len(ADJ_I32)
+                   + [jnp.float32] * len(_scatter_outs(spec.tgs)))
     out_shape = [jax.ShapeDtypeStruct((spec.R, 128), dt) for dt in dtypes]
-    aliases = {7 + i: i for i in range(N_ALL)}
+    aliases = {7 + i: i for i in range(n_planes)}
     return pl.pallas_call(
         functools.partial(_step_kernel, spec),
         out_shape=out_shape,
         grid=(spec.R // Rb,),
         in_specs=in_specs,
-        out_specs=[state] * N_ALL,
+        out_specs=[state] * len(dtypes),
         input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=spec.interpret,
     )
 
@@ -716,3 +926,179 @@ def _static_iso(phase_g) -> bool:
         return bool(abs(float(jax.device_get(phase_g))) < 1e-4)
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Adjoint driver
+# ---------------------------------------------------------------------------
+
+class AdjCarry(NamedTuple):
+    planes: Tuple[jnp.ndarray, ...]     # N_ADJ planes (R, 128)
+    acc: object                          # GradAccum (global)
+    it: jnp.ndarray
+
+    @property
+    def mode_plane(self):
+        return self.planes[N_STATE - len(I32_PLANES)]
+
+
+def _adj_take(c: AdjCarry, idx: jnp.ndarray) -> AdjCarry:
+    R2 = idx.shape[0] // 128
+    return AdjCarry(
+        planes=tuple(x.reshape(-1)[idx].reshape(R2, 128) for x in c.planes),
+        acc=c.acc, it=c.it)
+
+
+def _adj_put(full: AdjCarry, sub: AdjCarry, idx: jnp.ndarray) -> AdjCarry:
+    shp = full.planes[0].shape
+    return AdjCarry(
+        planes=tuple(f.reshape(-1).at[idx].set(s.reshape(-1)).reshape(shp)
+                     for f, s in zip(full.planes, sub.planes)),
+        acc=sub.acc, it=sub.it)
+
+
+def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
+    from ..scene.gradients import scatter_sigma, scatter_sigma_albedo
+    m = scene.medium
+    Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
+    if isinstance(scene.emitter, EnvmapEmitter):
+        He, We, _ = scene.emitter.data.shape
+        ek = "envmap"
+    else:
+        He = We = 0
+        ek = "const"
+    spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
+                    max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+                    use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
+                    emitter_kind=ek, em_h=He, em_w_=We,
+                    adjoint=True, tgs=cfg.trans_grad_samples,
+                    use_drt=cfg.use_drt, use_drt_mis=cfg.use_drt_mis,
+                    use_drt_sub=cfg.use_drt_subsampling,
+                    interpret=interpret)
+    call = _make_call(spec)
+    tables = build_tables(scene)
+    n = R * 128
+    sout = _scatter_outs(spec.tgs)
+
+    def step(c: AdjCarry, do_post: bool) -> AdjCarry:
+        d_ = dict(zip(ALL_PLANES + ADJ_PLANES, c.planes))
+        if do_post:
+            sig, a0, a1, a2 = _sigma_albedo_planes(m, d_["px"], d_["py"],
+                                                   d_["pz"])
+        else:
+            sig = jnp.zeros((R, 128), jnp.float32)
+            a0 = a1 = a2 = sig
+        scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
+        out = call(scal, tables.maj, tables.em, sig, a0, a1, a2, *c.planes)
+        planes = tuple(out[:N_ADJ])
+        acc = c.acc
+        if do_post:
+            sc = dict(zip(sout, out[N_ADJ:]))
+
+            def flat3(x, y, z):
+                return jnp.stack([x.reshape(n), y.reshape(n),
+                                  z.reshape(n)], axis=-1)
+
+            p_in = flat3(d_["px"], d_["py"], d_["pz"])
+            acc = scatter_sigma_albedo(
+                acc, m, p_in, sc["sc_sig"].reshape(n),
+                flat3(sc["sc_a0"], sc["sc_a1"], sc["sc_a2"]), None)
+            for k in range(spec.tgs):
+                ps = flat3(sc[f"tsx{k}"], sc[f"tsy{k}"], sc[f"tsz{k}"])
+                acc = scatter_sigma(acc, m, ps, sc[f"tc{k}"].reshape(n),
+                                    None)
+        return AdjCarry(planes=planes, acc=acc,
+                        it=c.it + (1 if do_post else 0))
+    return step
+
+
+def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
+                          state_in, schedule=(96, None, None),
+                          interpret: bool = None):
+    """Drop-in for volpath_flat.sample_adjoint on supported scenes: Pallas
+    fused step/cotangent kernel + XLA row gather and 1+tgs row scatter-adds
+    per step (the in-scattering and replay cotangents share one scatter).
+    Same estimator set, same primary/alt TEA streams."""
+    from ..core.rng import lane_fork
+    from ..integrators.volpath_flat import _drt_backward_flat
+    from ..integrators.volpathsimple import _Reservoir, _reservoir_get
+    from ..scene.gradients import finalize_accum, init_accum
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m = scene.medium
+    n = o.shape[0]
+    assert n % 128 == 0, n
+    R = n // 128
+
+    smp = make_lane_sampler(seed, n_lanes=n)
+    carry = _init_carry(scene, o, d, smp, None)
+    carry = carry._replace(result=jnp.asarray(state_in))
+    base = pack_carry(carry, R)
+    alt = lane_fork(smp, 0x9E3779B9)
+
+    def p(x):
+        return jnp.asarray(x).reshape(R, 128)
+
+    z = jnp.zeros((R, 128), jnp.float32)
+    zi = jnp.zeros((R, 128), jnp.int32)
+    dL = jnp.asarray(dL)
+    adj_planes = (
+        z, z, z, z, z,                       # rpt, rptr, sha0..2
+        p(dL[:, 0]), p(dL[:, 1]), p(dL[:, 2]),
+        z, z, z, z, z, z,                    # rw0..2, rc0..2
+        z, z, z, z, z, z, z, z, z, z,        # rvo, rvl, rvw, rvmaxt
+        p(alt.h).view(jnp.int32), zi,        # alth, altd
+        zi, zi, zi - 1, zi)                  # rpdim, shdim0, rvdepth, rvact
+    ac = AdjCarry(planes=base.planes + adj_planes,
+                  acc=init_accum(m, vary=jnp.float32(0.0)), it=base.it)
+
+    steps = {n: _make_adj_step(cfg, scene, R, interpret)}
+    ac = steps[n](ac, do_post=False)
+
+    def active_of(c: AdjCarry):
+        return (c.mode_plane != DONE).reshape(-1)
+
+    def step_dispatch(c: AdjCarry) -> AdjCarry:
+        sz = c.planes[0].shape[0] * 128
+        return steps[sz](c, do_post=True)
+
+    if schedule is None:
+        def cond(c):
+            return jnp.any(active_of(c))
+        ac = jax.lax.while_loop(cond, step_dispatch, ac)
+    else:
+        sched = [schedule[0]]
+        defaults = [(max(n // 8, 8192), 256), (max(n // 32, 8192), None)]
+        for i, st in enumerate(schedule[1:]):
+            sched.append(st if st is not None else
+                         defaults[i] if i < len(defaults) else (n, None))
+        for sz, _ in sched[1:]:
+            if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
+                steps[sz] = _make_adj_step(cfg, scene, sz // 128, interpret)
+        sched = [sched[0]] + [(sz if sz in steps else n, it)
+                              for sz, it in sched[1:]]
+        ac = _run_rounds(step_dispatch, _adj_take, _adj_put,
+                         active_of, ac, sched, n)
+
+    acc = ac.acc
+    if cfg.use_drt and cfg.use_drt_subsampling:
+        dd = dict(zip(ALL_PLANES + ADJ_PLANES, ac.planes))
+
+        def u(k):
+            return dd[k].reshape(n)
+
+        def v3(a, b, c):
+            return jnp.stack([u(a), u(b), u(c)], axis=-1)
+
+        res = _Reservoir(wsum=v3("rw0", "rw1", "rw2"),
+                         cur_w=v3("rc0", "rc1", "rc2"),
+                         depth=u("rvdepth"),
+                         o_l=v3("rvo0", "rvo1", "rvo2"),
+                         d_l=v3("rvl0", "rvl1", "rvl2"),
+                         d_w=v3("rvw0", "rvw1", "rvw2"),
+                         maxt=u("rvmaxt"),
+                         active=u("rvact") != 0)
+        w_sub = _reservoir_get(res)
+        acc = _drt_backward_flat(cfg, scene, seed, res, w_sub * dL, acc)
+    return finalize_accum(acc, m)

@@ -108,8 +108,13 @@ def _dispatch_adjoint(cfg: IntegratorConfig, scene, o, d, seed, dL, L):
         g, _ = nerf_mod.sample_adjoint(
             cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]), dL, L)
         return g
-    if cfg.engine in ("flat", "pallas"):
-        # pallas: adjoint stays on the XLA flat engine for now
+    if cfg.engine == "pallas":
+        from ..ops import volpath_step as vk
+        if vk.pallas_supported(scene, o.shape[0]):
+            return vk.sample_adjoint_pallas(cfg, scene, o, d, seed, dL, L)
+        return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L,
+                                        schedule=(96, None, None))
+    if cfg.engine == "flat":
         return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L,
                                         schedule=(96, None, None))
     g, _ = vps_mod.sample_adjoint(
@@ -168,16 +173,13 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         rep = jax.lax.broadcasted_iota(jnp.int32, (B * spp_g, 1), 0)[:, 0] // spp_g
         dL = g_img[rep] / spp_g
 
-        # (1) detached primal replay, (2) adjoint pass — same stream.  The
-        # replay engine must MATCH the adjoint engine exactly (PRB replays
-        # the same realized paths), so pallas falls back to flat here until
-        # the pallas adjoint lands.
-        cfg_b = st.integrator
-        if getattr(cfg_b, "engine", None) == "pallas":
-            import dataclasses
-            cfg_b = dataclasses.replace(cfg_b, engine="flat")
-        L, _ = _dispatch_primal(cfg_b, scene, o, d, seed_grad)
-        grads = _dispatch_adjoint(cfg_b, scene, o, d, seed_grad, dL, L)
+        # (1) detached primal replay, (2) adjoint pass — same stream; the
+        # replay engine matches the adjoint engine (PRB replays the same
+        # realized paths: pallas primal + pallas adjoint share bit-identical
+        # TEA sequences and arithmetic, likewise flat + flat)
+        L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_grad)
+        grads = _dispatch_adjoint(st.integrator, scene, o, d, seed_grad,
+                                  dL, L)
 
         zero_em = jax.tree_util.tree_map(jnp.zeros_like, emitter)
         zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cameras)
