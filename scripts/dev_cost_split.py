@@ -1,0 +1,93 @@
+"""Measure the per-step cost split of the hybrid engine on the TPU:
+(a) XLA corner-table row gather alone, (b) fused kernel alone,
+(c) both chained, at the bench shapes.  Also the gather at 8-float rows.
+Run ON THE TPU."""
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from uivr_tpu.config import smoke_scene
+from uivr_tpu.integrators import VolpathConfig
+from uivr_tpu.ops import volpath_step as vk
+from uivr_tpu.scene import Scene, finalize_medium
+
+
+def timeit(name, f, *args, reps=20):
+    out = f(*args)
+    s = float(jax.tree_util.tree_leaves(out)[0].sum())
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*args)
+    s = float(jax.tree_util.tree_leaves(out)[0].sum())
+    dt = (time.time() - t0) / reps
+    print(f"{name}: {dt*1e3:.3f} ms  (sum {s:.1f})", flush=True)
+    return dt
+
+
+def main():
+    n = 262144
+    R = n // 128
+    b = smoke_scene(res=64, resx=128, resy=128, n_sensors=4)
+    m = finalize_medium(b.params, b.medium_cfg, b.to_world)
+    sc = Scene(medium=m, emitter=b.emitter, cameras=b.cameras)
+    rng = np.random.RandomState(0)
+    px = jnp.asarray(rng.rand(R, 128), jnp.float32)
+    py = jnp.asarray(rng.rand(R, 128), jnp.float32)
+    pz = jnp.asarray(rng.rand(R, 128), jnp.float32)
+
+    # (a) XLA row gather (combined 32-float rows)
+    @jax.jit
+    def ga(px, py, pz):
+        return vk._sigma_albedo_planes(m, px, py, pz)
+    timeit("a xla sigma_albedo rows (32f)", ga, px, py, pz)
+
+    # (a2) sigma-only corner rows (8 floats)
+    @jax.jit
+    def ga2(px, py, pz):
+        from uivr_tpu.core.grids import trilinear_sample_ct
+        p = jnp.stack([px.reshape(n), py.reshape(n), pz.reshape(n)], -1)
+        return trilinear_sample_ct(m.sigma_ct, m.params.sigma_t.shape, p)
+    timeit("a2 xla sigma-only rows (8f)", ga2, px, py, pz)
+
+    # (a3) raw row gather without trilinear math
+    tab = m.combined_ct
+
+    @jax.jit
+    def ga3(px):
+        idx = jnp.clip((px * tab.shape[0]).astype(jnp.int32), 0,
+                       tab.shape[0] - 1)
+        return tab[idx].sum(-1)
+    timeit("a3 raw row gather (n,32)", ga3, px)
+
+    # (b) kernel alone (priming call, do_post False->True toggle irrelevant)
+    cfg = VolpathConfig(max_depth=32, rr_depth=8, engine="pallas")
+    step = vk._make_step(cfg, sc, R, interpret=False)
+    smp0 = vk.make_lane_sampler(jnp.uint32(1), n_lanes=n)
+    o = jnp.stack([px.reshape(n), py.reshape(n), pz.reshape(n)], -1) * 0.0
+    d = jnp.concatenate([jnp.ones((n, 1)), jnp.full((n, 1), 0.3),
+                         jnp.full((n, 1), 0.2)], axis=-1)
+    carry = vk._init_carry(sc, o, d, smp0, None)
+    pc = vk.pack_carry(carry, R)
+
+    @jax.jit
+    def kern_only(pc):
+        return step(pc, do_post=True)
+    timeit("c gather+kernel step", kern_only, pc)
+
+    @jax.jit
+    def kern_pre(pc):
+        return step(pc, do_post=False)
+    timeit("b kernel (pre-only path, incl zero-gather)", kern_pre, pc)
+
+
+if __name__ == "__main__":
+    print(jax.devices(), flush=True)
+    main()

@@ -124,6 +124,13 @@ class StepSpec:
     use_drt: bool = False
     use_drt_mis: bool = False
     use_drt_sub: bool = False
+    # In-kernel supercell-crossing unroll: a step that only crosses into the
+    # next supercell (no collision candidate) costs a full loop iteration —
+    # i.e. an XLA sigma row-gather it never uses.  The PRE phase therefore
+    # retries up to `cross_steps` crossings in straight-line code (Mosaic
+    # cannot loop over gathers), consuming the identical TEA draws the flat
+    # engine would, so the realization is unchanged.
+    cross_steps: int = 4
     interpret: bool = False
 
     @property
@@ -591,22 +598,12 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     nwt = jnp.where(n_main, t, sht)
     if spec.adjoint:
         nwt = jnp.where(n_rp, rpt, nwt)
+    n_wmax = jnp.where(n_main, maxt, shtmax)
 
-    # volpath_flat._cell_step
-    eps = jnp.float32(1e-5) * (1.0 + jnp.abs(nwt))
-    te = nwt + eps
-
-    def cell_axis(o, dd, nres):
-        pw = o + te * dd
+    def cell_axis(o, dd, nres, te_):
+        pw = o + te_ * dd
         return jnp.clip(jnp.floor(jnp.clip(pw, 0.0, 1.0 - 1e-7) * nres),
                         0.0, nres - 1.0)
-
-    cx = cell_axis(ox, wdx, float(spec.Wc))
-    cy = cell_axis(oy, wdy, float(spec.Hc))
-    cz = cell_axis(oz, wdz, float(spec.Dc))
-    midx = ((cz.astype(jnp.int32) * spec.Hc + cy.astype(jnp.int32))
-            * spec.Wc + cx.astype(jnp.int32))
-    n_smaj = _chunk_shuffle(maj_ref, midx)
 
     def exit_axis(c, nres, o, dd):
         lo = c / nres
@@ -615,28 +612,67 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
                        jnp.where(dd >= 0, 1e-20, -1e-20), dd)
         return jnp.maximum((lo - o) / sd, (hi - o) / sd)
 
-    n_texit = jnp.maximum(jnp.minimum(
-        jnp.minimum(exit_axis(cx, float(spec.Wc), ox, wdx),
-                    exit_axis(cy, float(spec.Hc), oy, wdy)),
-        exit_axis(cz, float(spec.Dc), oz, wdz)), te)
+    # Crossing unroll (see StepSpec.cross_steps): each sub-iteration mirrors
+    # exactly one flat-engine step; lanes that found a candidate (or a
+    # terminal segment end) stop, crossers advance to the supercell exit.
+    found = ~n_walk
+    zf = jnp.zeros_like(nwt)
+    n_smaj, n_texit, n_tcand, n_uevt = zf, zf, zf, zf
+    K = max(spec.cross_steps, 1)
+    for k in range(K):
+        last = k == K - 1
+        active = n_walk & ~found
+        eps = jnp.float32(1e-5) * (1.0 + jnp.abs(nwt))
+        te = nwt + eps
+        cx = cell_axis(ox, wdx, float(spec.Wc), te)
+        cy = cell_axis(oy, wdy, float(spec.Hc), te)
+        cz = cell_axis(oz, wdz, float(spec.Dc), te)
+        midx = ((cz.astype(jnp.int32) * spec.Hc + cy.astype(jnp.int32))
+                * spec.Wc + cx.astype(jnp.int32))
+        smaj_k = _chunk_shuffle(maj_ref, midx)
+        texit_k = jnp.maximum(jnp.minimum(
+            jnp.minimum(exit_axis(cx, float(spec.Wc), ox, wdx),
+                        exit_axis(cy, float(spec.Hc), oy, wdy)),
+            exit_axis(cz, float(spec.Dc), oz, wdz)), te)
 
+        if spec.adjoint:
+            consume = active & (n_main | n_sh)
+            u_step = draw(consume)
+            uevt_k = draw(consume)
+            rb1, _ = tea_i32(h, rpdim)
+            rb2, _ = tea_i32(h, rpdim + 1)
+            u_step = jnp.where(n_rp, _unit_float(rb1), u_step)
+            uevt_k = jnp.where(n_rp, _unit_float(rb2), uevt_k)
+        else:
+            consume = active
+            u_step = draw(consume)
+            uevt_k = draw(consume)
+        stp = jnp.where(smaj_k > 0.0,
+                        -jnp.log1p(-u_step) / jnp.maximum(smaj_k, 1e-20),
+                        _BIG)
+        tcand_k = nwt + stp
+        bound = jnp.minimum(texit_k, n_wmax)
+        hit = tcand_k < bound
+        cross = (~hit) & (texit_k < n_wmax)
+        stop_now = active if last else (active & ~cross)
+        n_smaj = jnp.where(stop_now, smaj_k, n_smaj)
+        n_texit = jnp.where(stop_now, texit_k, n_texit)
+        n_tcand = jnp.where(stop_now, tcand_k, n_tcand)
+        n_uevt = jnp.where(stop_now, uevt_k, n_uevt)
+        if not last:
+            adv = active & cross
+            nwt = jnp.where(adv, texit_k, nwt)
+            if spec.adjoint:
+                rpdim = jnp.where(adv & n_rp, rpdim + 2, rpdim)
+        found = found | stop_now
+
+    # commit the crossing advances to the per-walk positions so POST's
+    # recomputed wt agrees with the recorded candidate
+    t = jnp.where(n_main, nwt, t)
+    sht = jnp.where(n_sh, nwt, sht)
     if spec.adjoint:
-        # REPLAY lanes re-read the shadow walk's draws from the restored
-        # per-lane counter without consuming (volpath_flat.py:186-192)
-        consume = n_main | n_sh
-        u_step = draw(consume)
-        n_uevt = draw(consume)
-        rb1, _ = tea_i32(h, rpdim)
-        rb2, _ = tea_i32(h, rpdim + 1)
-        u_step = jnp.where(n_rp, _unit_float(rb1), u_step)
-        n_uevt = jnp.where(n_rp, _unit_float(rb2), n_uevt)
-    else:
-        consume = n_walk
-        u_step = draw(consume)
-        n_uevt = draw(consume)
-    step = jnp.where(n_smaj > 0.0,
-                     -jnp.log1p(-u_step) / jnp.maximum(n_smaj, 1e-20), _BIG)
-    n_tcand = nwt + step
+        rpt = jnp.where(n_rp, nwt, rpt)
+
     n_px = ox + n_tcand * wdx
     n_py = oy + n_tcand * wdy
     n_pz = oz + n_tcand * wdz
