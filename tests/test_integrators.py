@@ -219,6 +219,12 @@ def _adjoint_grads(b, cfg, o, d, seed):
     @jax.jit
     def run(seed):
         dL = jnp.full((N, 3), 1.0 / (N * 3), jnp.float32)
+        if cfg.engine == "pallas":
+            from uivr_tpu.ops import volpath_step as vk
+            L, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed,
+                                           schedule=None)
+            return vk.sample_adjoint_pallas(cfg, sc, o, d, seed, dL, L,
+                                            schedule=None)
         if cfg.engine == "flat":
             L, _ = vflat.sample_primal(cfg, sc, o, d, seed)
             return vflat.sample_adjoint(cfg, sc, o, d, seed, dL, L)
@@ -230,7 +236,7 @@ def _adjoint_grads(b, cfg, o, d, seed):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("engine", ["flat", "nested"])
+@pytest.mark.parametrize("engine", ["flat", "nested", "pallas"])
 def test_volpath_adjoint_vs_quadrature_oracle(engine):
     """Free-flight adjoint sigma/albedo gradients vs an EXACT differentiable
     single-scatter quadrature oracle (max_depth=2, no NEE, constant

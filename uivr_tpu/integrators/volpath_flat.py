@@ -394,25 +394,30 @@ def _carry_put(full: _FlatCarry, sub: _FlatCarry,
 
 
 def _run_rounds(step_body, take_fn, put_fn, active_of, full,
-                schedule, n):
+                schedule, n, max_iters: int = 100_000):
     """In-graph compaction driver: run `block_iters` fused steps at full
     width, then for each (size, iters) stage gather the most-active lanes
     into a `size`-wide buffer and continue there; any overflow lanes (rare:
     actives exceeded the stage capacity) finish in a final full-width loop,
     which costs one cond check when empty.  Static shapes throughout ->
-    jittable inside the render op."""
+    jittable inside the render op.
+
+    ``max_iters`` bounds EVERY loop on the total step counter ``c.it`` — a
+    lane that never reaches DONE (numeric corner) must truncate, not spin
+    the device until the TPU watchdog kills the program."""
     first_iters, stages = schedule[0], schedule[1:]
 
     def bounded(c, iters):
         it0 = c.it
 
         def cond(cc):
-            return jnp.any(active_of(cc)) & (cc.it - it0 < iters)
+            return (jnp.any(active_of(cc)) & (cc.it - it0 < iters)
+                    & (cc.it < max_iters))
         return jax.lax.while_loop(cond, step_body, c)
 
     def unbounded(c):
         def cond(cc):
-            return jnp.any(active_of(cc))
+            return jnp.any(active_of(cc)) & (cc.it < max_iters)
         return jax.lax.while_loop(cond, step_body, c)
 
     full = bounded(full, first_iters)
@@ -423,17 +428,10 @@ def _run_rounds(step_body, take_fn, put_fn, active_of, full,
         order = jnp.argsort(~active_of(full))
         idx = order[:size]
         sub = take_fn(full, idx)
-        if iters is None:
-            def cond(cc):
-                return jnp.any(active_of(cc))
-            sub = jax.lax.while_loop(cond, step_body, sub)
-        else:
-            sub = bounded(sub, iters)
+        sub = unbounded(sub) if iters is None else bounded(sub, iters)
         full = put_fn(full, sub, idx)
 
-    def cond(cc):
-        return jnp.any(active_of(cc))
-    return jax.lax.while_loop(cond, step_body, full)
+    return unbounded(full)
 
 
 def _adj_take(a: "_FlatAdjCarry", idx: jnp.ndarray) -> "_FlatAdjCarry":
@@ -489,7 +487,8 @@ def sample_primal_compact(cfg: VolpathConfig, scene: Scene, o, d, seed,
         return _flat_step(cfg, scene, c)[0]
 
     full = _run_rounds(step_body, _carry_take, _carry_put,
-                       lambda c: c.mode != DONE, full, sched, n)
+                       lambda c: c.mode != DONE, full, sched, n,
+                       max_iters=cfg.max_steps)
     return _finish(cfg, scene, full), full.escaped
 
 
@@ -515,13 +514,17 @@ class _FlatAdjCarry(NamedTuple):
 
 
 def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
-                   state_in, max_iters: int = 100_000, schedule=None):
+                   state_in, max_iters: int = None, schedule=None):
     """Flat path-replay adjoint (same estimator set and algebra as
     volpathsimple.sample_adjoint). Returns MediumParams gradients.
     ``schedule`` (as in :func:`sample_primal_compact`) enables in-graph
     compaction rounds."""
     m = scene.medium
     n = o.shape[0]
+    if max_iters is None:
+        # the adjoint interleaves MAIN + SHADOW + REPLAY walks, so its total
+        # event count per lane can exceed the primal's ~max_steps bound
+        max_iters = 3 * cfg.max_steps
     smp = make_lane_sampler(seed, n_lanes=n)
     carry = _init_carry(scene, o, d, smp, None)
     carry = carry._replace(result=jnp.asarray(state_in))
@@ -620,7 +623,8 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
             sched.append(st if st is not None else
                          defaults[i] if i < len(defaults) else (n_l, None))
         ac = _run_rounds(body, _adj_take, _adj_put,
-                         lambda a: a.c.mode != DONE, ac, sched, n_l)
+                         lambda a: a.c.mode != DONE, ac, sched, n_l,
+                         max_iters=max_iters)
 
     # ---- delayed DRT on reservoir vertices (volpathsimple.py:248-259)
     if cfg.use_drt and cfg.use_drt_subsampling:

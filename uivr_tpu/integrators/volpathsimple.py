@@ -58,9 +58,11 @@ class VolpathConfig:
     hide_emitters: bool = False
     max_steps: int = 4096         # tracking-loop trip bound
     trans_grad_samples: int = 4   # volpathsimple.py:584 n_samples
-    # 'flat' = single fused state-machine loop (volpath_flat.py, TPU-fast);
-    # 'nested' = reference-structured loops (reference semantics baseline).
-    engine: str = "flat"
+    # 'auto'   = pallas on TPU backends when the scene supports it, else flat
+    # 'pallas' = fused Pallas step kernel (ops/volpath_step.py)
+    # 'flat'   = single fused XLA state-machine loop (volpath_flat.py)
+    # 'nested' = reference-structured loops (reference semantics baseline)
+    engine: str = "auto"
 
 
 class PathState(NamedTuple):

@@ -29,6 +29,7 @@ The adjoint currently runs on the XLA flat engine (volpath_flat).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Tuple
 
@@ -130,7 +131,8 @@ class StepSpec:
     # retries up to `cross_steps` crossings in straight-line code (Mosaic
     # cannot loop over gathers), consuming the identical TEA draws the flat
     # engine would, so the realization is unchanged.
-    cross_steps: int = 4
+    # Overridable for bisection/tuning via UIVR_CROSS_STEPS (1 disables).
+    cross_steps: int = int(os.environ.get("UIVR_CROSS_STEPS", 4))
     interpret: bool = False
 
     @property
@@ -937,7 +939,7 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
 
     if schedule is None:
         def cond(c):
-            return jnp.any(active_of(c))
+            return jnp.any(active_of(c)) & (c.it < cfg.max_steps)
         pc = jax.lax.while_loop(cond, step_dispatch, pc)
     else:
         sched = [schedule[0]]
@@ -951,7 +953,7 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
         sched = [sched[0]] + [(sz if sz in steps else n, it)
                               for sz, it in sched[1:]]
         pc = _run_rounds(step_dispatch, _planes_take, _planes_put,
-                         active_of, pc, sched, n)
+                         active_of, pc, sched, n, max_iters=cfg.max_steps)
 
     carry = unpack_carry(pc, n)
     return _finish(cfg, scene, carry), carry.escaped
@@ -1099,9 +1101,10 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         sz = c.planes[0].shape[0] * 128
         return steps[sz](c, do_post=True)
 
+    max_iters = 3 * cfg.max_steps        # MAIN + SHADOW + REPLAY walks
     if schedule is None:
         def cond(c):
-            return jnp.any(active_of(c))
+            return jnp.any(active_of(c)) & (c.it < max_iters)
         ac = jax.lax.while_loop(cond, step_dispatch, ac)
     else:
         sched = [schedule[0]]
@@ -1115,7 +1118,7 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         sched = [sched[0]] + [(sz if sz in steps else n, it)
                               for sz, it in sched[1:]]
         ac = _run_rounds(step_dispatch, _adj_take, _adj_put,
-                         active_of, ac, sched, n)
+                         active_of, ac, sched, n, max_iters=max_iters)
 
     acc = ac.acc
     if cfg.use_drt and cfg.use_drt_subsampling:

@@ -86,17 +86,32 @@ class RenderSettings:
     spp_grad: int
 
 
+def _resolve_engine(cfg, scene, n: int) -> str:
+    """'auto' -> pallas on accelerator backends when the scene supports the
+    fused kernel (ops/volpath_step.pallas_supported), else flat; explicit
+    'pallas' also degrades to flat on unsupported scenes."""
+    e = getattr(cfg, "engine", None)
+    if e == "auto":
+        import jax
+        if jax.default_backend() == "cpu":
+            return "flat"
+        e = "pallas"
+    if e == "pallas":
+        from ..ops import volpath_step as vk
+        if not vk.pallas_supported(scene, n):
+            return "flat"
+    return e
+
+
 def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, seed):
     if isinstance(cfg, NerfConfig):
         return nerf_mod.sample_primal(cfg, scene, o, d,
                                       make_sampler(seed, n_lanes=o.shape[0]))[:2]
-    if cfg.engine == "pallas":
-        # TPU fused-step kernel when the scene supports it, else XLA flat
+    engine = _resolve_engine(cfg, scene, o.shape[0])
+    if engine == "pallas":
         from ..ops import volpath_step as vk
-        if vk.pallas_supported(scene, o.shape[0]):
-            return vk.sample_primal_pallas(cfg, scene, o, d, seed)
-        return vflat_mod.sample_primal_compact(cfg, scene, o, d, seed)
-    if cfg.engine == "flat":
+        return vk.sample_primal_pallas(cfg, scene, o, d, seed)
+    if engine == "flat":
         return vflat_mod.sample_primal_compact(cfg, scene, o, d, seed)
     L, valid, _ = vps_mod.sample_primal(
         cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]))
@@ -108,13 +123,11 @@ def _dispatch_adjoint(cfg: IntegratorConfig, scene, o, d, seed, dL, L):
         g, _ = nerf_mod.sample_adjoint(
             cfg, scene, o, d, make_sampler(seed, n_lanes=o.shape[0]), dL, L)
         return g
-    if cfg.engine == "pallas":
+    engine = _resolve_engine(cfg, scene, o.shape[0])
+    if engine == "pallas":
         from ..ops import volpath_step as vk
-        if vk.pallas_supported(scene, o.shape[0]):
-            return vk.sample_adjoint_pallas(cfg, scene, o, d, seed, dL, L)
-        return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L,
-                                        schedule=(96, None, None))
-    if cfg.engine == "flat":
+        return vk.sample_adjoint_pallas(cfg, scene, o, d, seed, dL, L)
+    if engine == "flat":
         return vflat_mod.sample_adjoint(cfg, scene, o, d, seed, dL, L,
                                         schedule=(96, None, None))
     g, _ = vps_mod.sample_adjoint(
