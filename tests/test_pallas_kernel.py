@@ -177,6 +177,71 @@ def test_render_grad_dispatch_pallas():
     assert rel < 0.05, rel
 
 
+def test_kernel_padding_odd_width(smoke):
+    """Wavefronts that are not multiples of 1024 (scaled batch sizes, e.g.
+    1638*64 rays in the reproduce CLI at --scale 0.05) are padded with
+    repeat-ray-0 lanes: real-lane radiance must equal the aligned engine's
+    and padded adjoint lanes (dL=0) must not pollute the gradients."""
+    sc, o, d = smoke
+    cfg = VolpathConfig(max_depth=8, trans_grad_samples=2)
+    seed = jnp.uint32(23)
+    n_odd = 832                       # R=6.5 -> pads to 1024
+    oo, dd = o[:n_odd], d[:n_odd]
+    Lf, _ = vf.sample_primal(cfg, sc, oo, dd, seed)
+    Lp, ep = vk.sample_primal_pallas(cfg, sc, oo, dd, seed, schedule=None,
+                                     interpret=True)
+    assert Lp.shape == (n_odd, 3) and ep.shape == (n_odd,)
+    agree = np.mean(np.all(np.abs(np.asarray(Lf) - np.asarray(Lp)) < 1e-5,
+                           axis=-1))
+    assert agree > 0.98, agree
+    dL = jnp.full((n_odd, 3), 1.0 / (3 * n_odd), jnp.float32)
+    gf = vf.sample_adjoint(cfg, sc, oo, dd, seed, dL, Lf, schedule=None)
+    gp = vk.sample_adjoint_pallas(cfg, sc, oo, dd, seed, dL, Lp,
+                                  schedule=None, interpret=True)
+    for a, b in zip((gf.sigma_t, gf.albedo), (gp.sigma_t, gp.albedo)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).sum() / max(np.abs(a).sum(), 1e-12)
+        assert rel < 0.05, rel
+
+
+def test_render_grad_pallas_jit_traced_scene():
+    """Under jit the scene is finalized from TRACED params, so phase_g is a
+    tracer and the kernel takes the non-static HG path.  Regression: the HG
+    cos_theta division by 2g at traced g=0 NaN-poisoned every scattered
+    lane's direction, stalling those lanes at the trip bound and blowing up
+    the gradients.  The guarded path must be bit-identical to eager iso."""
+    from uivr_tpu.render import RenderSettings, make_render, \
+        sample_batch_pixels
+    from uivr_tpu.opt import losses
+    b = smoke_scene(res=16, resx=32, resy=32, n_sensors=2)
+    cfg = VolpathConfig(max_depth=6, engine="pallas")
+    st = RenderSettings(integrator=cfg, medium=b.medium_cfg,
+                        film_size=b.film_size, spp=4, spp_grad=2)
+    render = make_render(st, b.to_world)
+    si, px = sample_batch_pixels(jnp.uint32(1), 2, b.film_size, 128)
+    ref = jnp.full((128, 3), 0.3, jnp.float32)
+
+    def f(p):
+        img = render(p, b.emitter, b.cameras, si, px, jnp.uint32(3),
+                     jnp.uint32(4))
+        return losses.l1(img, ref)
+
+    loss_e, g_e = jax.value_and_grad(f)(b.params)
+    loss_j, g_j = jax.jit(jax.value_and_grad(f))(b.params)
+    assert np.isfinite(float(loss_j))
+    np.testing.assert_allclose(float(loss_j), float(loss_e), rtol=1e-5)
+    # jit-vs-eager fusion rounding flips a few float-boundary paths, so the
+    # realizations differ on a small fraction of entries (same metric as
+    # test_kernel_adjoint_matches_flat); finiteness is the hard assertion
+    for a, c in zip(jax.tree_util.tree_leaves(g_e),
+                    jax.tree_util.tree_leaves(g_j)):
+        a, c = np.asarray(a), np.asarray(c)
+        assert np.isfinite(c).all()
+        rel = np.abs(a - c).sum() / max(np.abs(a).sum(), 1e-12)
+        assert rel < 0.05, rel
+
+
 def test_tea_i32_bit_exact():
     from uivr_tpu.core.rng import tea, _to_unit_float
     rng = np.random.RandomState(0)

@@ -327,12 +327,22 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
         cos_theta = 1.0 - 2.0 * u_p1
         ph_pdf = jnp.full_like(u_p1, _INV_FOUR_PI)
     else:
+        # guarded HG (phase.py:phase_sample): g may be a TRACED zero (scene
+        # finalized in-jit), so the 1/(2g) division must be masked or it
+        # poisons every scattered lane with NaN directions
+        iso_g = jnp.abs(g) < 1e-4
+        g_s = jnp.where(iso_g, jnp.float32(0.5), g)
+        g2s = g_s * g_s
+        sqr = (1.0 - g2s) / (1.0 - g_s + 2.0 * g_s * u_p1)
+        cos_theta = jnp.where(
+            iso_g, 1.0 - 2.0 * u_p1,
+            jnp.clip((1.0 + g2s - sqr * sqr) / (2.0 * g_s), -1.0, 1.0))
         g2 = g * g
-        sqr = (1.0 - g2) / (1.0 - g + 2.0 * g * u_p1)
-        cos_theta = jnp.clip((1.0 + g2 - sqr * sqr) / (2.0 * g), -1.0, 1.0)
         den = 1.0 + g2 - 2.0 * g * cos_theta
-        ph_pdf = jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
-            den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12)
+        ph_pdf = jnp.where(
+            iso_g, jnp.full_like(u_p1, _INV_FOUR_PI),
+            jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
+                den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12))
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     phi = jnp.float32(2.0 * np.pi) * u_p2
     sign = jnp.where(dwz >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
@@ -436,8 +446,10 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
         else:
             g2 = g * g
             den = 1.0 + g2 - 2.0 * g * cth
-            phv = jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
-                den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12)
+            phv = jnp.where(                       # phase.py:phase_eval guard
+                jnp.abs(g) < 1e-4, jnp.full_like(cth, _INV_FOUR_PI),
+                jnp.float32(_INV_FOUR_PI) * (1.0 - g2) / jnp.maximum(
+                    den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12))
         a2 = ds_pdf * ds_pdf
         wmis = jnp.where(ds_pdf > 0.0,
                          a2 / jnp.maximum(a2 + phv * phv, 1e-30), 0.0)
@@ -718,6 +730,10 @@ def _make_call(spec: StepSpec):
     Rb = min(spec.R, 128 if spec.adjoint else 256)
     while spec.R % Rb:
         Rb //= 2
+    if Rb % 8:
+        # Mosaic block rows must be a multiple of 8 OR the full array; odd
+        # R (e.g. scaled batch sizes) falls back to one full-width block
+        Rb = spec.R
 
     def slab(r):
         return (r, 0)
@@ -819,6 +835,24 @@ def unpack_carry(pc: PlanesCarry, n: int) -> _FlatCarry:
         it=pc.it)
 
 
+def _pad_rays(o, d, n_req: int):
+    """Pad a wavefront to a multiple of 1024 lanes (so R = n/128 is a
+    multiple of 8, satisfying Mosaic's block-row rule at every compaction
+    stage width).  Pad lanes repeat ray 0 with their own RNG streams; their
+    radiance is sliced away and (in the adjoint) their dL is zero so they
+    contribute no gradient."""
+    n = ((n_req + 1023) // 1024) * 1024
+    if n != n_req:
+        pad = n - n_req
+        o = jnp.concatenate([o, jnp.broadcast_to(o[:1], (pad, 3))], axis=0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[:1], (pad, 3))], axis=0)
+    return o, d, n
+
+
+def _round_stage(sz: int) -> int:
+    return ((sz + 1023) // 1024) * 1024
+
+
 def pallas_supported(scene: Scene, n: int, cfg: VolpathConfig = None) -> bool:
     """Static gate for the kernel engine (fallback: XLA flat engine)."""
     m = scene.medium
@@ -829,7 +863,7 @@ def pallas_supported(scene: Scene, n: int, cfg: VolpathConfig = None) -> bool:
         em_ok = isinstance(scene.emitter, ConstantEmitter)
     return (em_ok and m.combined_ct is not None
             and Tm <= 2048
-            and n % 128 == 0 and n >= 1024)
+            and n >= 1024)       # any size: _pad_rays rounds up to 1024s
 
 
 def _planes_take(pc: PlanesCarry, idx: jnp.ndarray) -> PlanesCarry:
@@ -910,7 +944,7 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
 
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          schedule=(96, None, None), path_state=None,
-                         interpret: bool = None):
+                         interpret: bool = None, return_state: bool = False):
     """Drop-in for volpath_flat.sample_primal_compact on supported scenes
     (same estimator, same TEA draw sequence; Pallas fused step kernel).
     ``interpret=None``: compile on TPU, interpret elsewhere (CPU tests)."""
@@ -918,8 +952,12 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
         # compile for real TPU backends (incl. the axon relay plugin);
         # interpret elsewhere (CPU test backend)
         interpret = jax.default_backend() == "cpu"
-    n = (o if path_state is None else path_state.o_l).shape[0]
-    assert n % 128 == 0, n
+    n_req = (o if path_state is None else path_state.o_l).shape[0]
+    if path_state is None:
+        o, d, n = _pad_rays(o, d, n_req)
+    else:
+        n = n_req
+        assert n % 128 == 0, n
     R = n // 128
 
     smp = make_lane_sampler(seed, n_lanes=n)
@@ -943,7 +981,8 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
         pc = jax.lax.while_loop(cond, step_dispatch, pc)
     else:
         sched = [schedule[0]]
-        defaults = [(max(n // 8, 8192), 256), (max(n // 32, 8192), None)]
+        defaults = [(_round_stage(max(n // 8, 8192)), 256),
+                    (_round_stage(max(n // 32, 8192)), None)]
         for i, st in enumerate(schedule[1:]):
             sched.append(st if st is not None else
                          defaults[i] if i < len(defaults) else (n, None))
@@ -956,7 +995,10 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          active_of, pc, sched, n, max_iters=cfg.max_steps)
 
     carry = unpack_carry(pc, n)
-    return _finish(cfg, scene, carry), carry.escaped
+    L = _finish(cfg, scene, carry)[:n_req]
+    if return_state:
+        return L, carry.escaped[:n_req], pc
+    return L, carry.escaped[:n_req]
 
 
 def _static_iso(phase_g) -> bool:
@@ -1052,7 +1094,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
 
 def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
                           state_in, schedule=(96, None, None),
-                          interpret: bool = None):
+                          interpret: bool = None, return_state: bool = False):
     """Drop-in for volpath_flat.sample_adjoint on supported scenes: Pallas
     fused step/cotangent kernel + XLA row gather and 1+tgs row scatter-adds
     per step (the in-scattering and replay cotangents share one scatter).
@@ -1065,8 +1107,13 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m = scene.medium
-    n = o.shape[0]
-    assert n % 128 == 0, n
+    n_req = o.shape[0]
+    o, d, n = _pad_rays(o, d, n_req)
+    if n != n_req:
+        pad = n - n_req
+        zpad = jnp.zeros((pad, 3), jnp.float32)
+        dL = jnp.concatenate([jnp.asarray(dL), zpad], axis=0)
+        state_in = jnp.concatenate([jnp.asarray(state_in), zpad], axis=0)
     R = n // 128
 
     smp = make_lane_sampler(seed, n_lanes=n)
@@ -1108,7 +1155,8 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         ac = jax.lax.while_loop(cond, step_dispatch, ac)
     else:
         sched = [schedule[0]]
-        defaults = [(max(n // 8, 8192), 256), (max(n // 32, 8192), None)]
+        defaults = [(_round_stage(max(n // 8, 8192)), 256),
+                    (_round_stage(max(n // 32, 8192)), None)]
         for i, st in enumerate(schedule[1:]):
             sched.append(st if st is not None else
                          defaults[i] if i < len(defaults) else (n, None))
@@ -1140,4 +1188,6 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
                          active=u("rvact") != 0)
         w_sub = _reservoir_get(res)
         acc = _drt_backward_flat(cfg, scene, seed, res, w_sub * dL, acc)
+    if return_state:
+        return finalize_accum(acc, m), ac
     return finalize_accum(acc, m)
