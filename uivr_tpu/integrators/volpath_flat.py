@@ -637,11 +637,13 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
 
 
 def _drt_backward_flat(cfg: VolpathConfig, scene: Scene, seed, res, adjoint,
-                       acc: GradAccum) -> GradAccum:
-    """Delayed DRT: transmittance-proportional distance + recursive FLAT
+                       acc: GradAccum, engine: str = "flat") -> GradAccum:
+    """Delayed DRT: transmittance-proportional distance + recursive
     primal Li + sigma/albedo cotangents (volpathsimple.py:507-581).  This
     phase is wavefront-synchronized, so the global-counter Sampler is used
-    for its auxiliary draws."""
+    for its auxiliary draws.  ``engine='pallas'`` routes the recursive
+    detached Li through the fused-step kernel (same estimator; the caller
+    guarantees a pallas-supported scene and a 1024-multiple wavefront)."""
     m = scene.medium
     n = res.o_l.shape[0]
     drt_seed, _ = sample_tea_32(jnp.asarray(seed, jnp.uint32), 0x5151)
@@ -670,8 +672,13 @@ def _drt_backward_flat(cfg: VolpathConfig, scene: Scene, seed, res, adjoint,
         depth=next_depth, o_l=p, d_l=rec_dl, d_w=wo, maxt=rec_maxt,
         last_pdf=jnp.where(active, ph_pdf, 1.0))
     rec_seed, _ = sample_tea_32(jnp.asarray(seed, jnp.uint32), 0x7177)
-    rec_Li, _ = sample_primal_compact(cfg, scene, None, None, rec_seed,
-                                      schedule=(64, None), path_state=ps)
+    if engine == "pallas":
+        from ..ops.volpath_step import sample_primal_pallas
+        rec_Li, _ = sample_primal_pallas(cfg, scene, None, None, rec_seed,
+                                         schedule=(64, None), path_state=ps)
+    else:
+        rec_Li, _ = sample_primal_compact(cfg, scene, None, None, rec_seed,
+                                          schedule=(64, None), path_state=ps)
     Li = Li + rec_Li
 
     sig = sigma_t_at(m, p)

@@ -1187,7 +1187,8 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
                          maxt=u("rvmaxt"),
                          active=u("rvact") != 0)
         w_sub = _reservoir_get(res)
-        acc = _drt_backward_flat(cfg, scene, seed, res, w_sub * dL, acc)
+        acc = _drt_backward_flat(cfg, scene, seed, res, w_sub * dL, acc,
+                                 engine="pallas")
     if return_state:
         return finalize_accum(acc, m), ac
     return finalize_accum(acc, m)
