@@ -46,7 +46,11 @@ def main():
     res = int(os.environ.get("BENCH_GRID", 64))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
-    bundle = smoke_scene(res=res, resx=128, resy=128, n_sensors=16)
+    # majorant_factor=16 from the measured sweep (PLAN.md): at 64^3 the
+    # supergrid cost curve is 2:0.106, 4:0.148 (both exceed the pallas
+    # chunk gate -> flat fallback), 8:0.709, 16:0.843, 32:0.841 Mrays/s.
+    bundle = smoke_scene(res=res, resx=128, resy=128, n_sensors=16,
+                         majorant_factor=int(os.environ.get("BENCH_MAJ", 16)))
     # rr_depth=8: Russian roulette truncates the divergence tail unbiasedly
     # (the reference's production preset disables RR; we report the RR-on
     # number as the production configuration of THIS framework)

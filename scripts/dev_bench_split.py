@@ -35,7 +35,8 @@ def timed(tag, f, *args):
 def main():
     spp_grad, spp = 4, 64
     batch = int(os.environ.get("BENCH_BATCH", 4096))
-    bundle = smoke_scene(res=64, resx=128, resy=128, n_sensors=16)
+    bundle = smoke_scene(res=64, resx=128, resy=128, n_sensors=16,
+                         majorant_factor=int(os.environ.get("BENCH_MAJ", 8)))
     cfg = VolpathConfig(max_depth=32, max_steps=2048,
                         engine=os.environ.get("BENCH_ENGINE", "pallas"),
                         rr_depth=8, trans_grad_samples=2,
