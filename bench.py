@@ -39,9 +39,8 @@ def main():
     from uivr_tpu.opt import adam_init, adam_step, enforce_valid_params, losses
     from uivr_tpu.render import RenderSettings, make_render, sample_batch_pixels
 
-    spp_grad = 4
-    primal_factor = 16
-    spp = spp_grad * primal_factor   # 64 primal spp
+    spp_grad = int(os.environ.get("BENCH_SPP_GRAD", 4))
+    spp = 64                         # primal spp (reference production: 64)
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     res = int(os.environ.get("BENCH_GRID", 64))
     iters = int(os.environ.get("BENCH_ITERS", 10))
@@ -84,37 +83,85 @@ def main():
             params = enforce_valid_params(params, bundle.max_density)
             return params, opt_state, loss
     else:
-        @jax.jit
-        def step(params, opt_state, sensor_idx, pixels, ref, seed, seed_grad):
+        # Device-resident optimization loop: scan over iterations inside ONE
+        # jitted program; pixels resampled per iteration on device, as the
+        # reference does per iter on host (batched.py:397; optimize.py:327).
+        # Methodology knobs (BENCH_SCAN / BENCH_RESAMPLE) isolate scan
+        # overhead from pixel-set effects.
+        from uivr_tpu.render import sample_batch_pixels as sbp
+        resample = os.environ.get("BENCH_RESAMPLE", "1") == "1"
+        fixed_sp = sbp(jnp.uint32(1), 16, bundle.film_size, batch)
+
+        def body(carry, seed):
+            params, opt_state = carry
+            if resample:
+                sensor_idx, pixels = sbp(seed, 16, bundle.film_size, batch)
+            else:
+                sensor_idx, pixels = fixed_sp
+
             def f(p):
-                img = render(p, bundle.emitter, bundle.cameras, sensor_idx,
-                             pixels, seed, seed_grad)
+                img = render(p, bundle.emitter, bundle.cameras,
+                             sensor_idx, pixels, 2 * seed, 2 * seed + 1)
                 return losses.l1(img, ref)
             loss, grads = jax.value_and_grad(f)(params)
             params, opt_state = adam_step(params, grads, opt_state, lr)
             params = enforce_valid_params(params, bundle.max_density)
-            return params, opt_state, loss
+            return (params, opt_state), loss
 
-    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(1), 16,
-                                             bundle.film_size, batch)
+        @jax.jit
+        def run_iters(params, opt_state, ref, seeds):
+            (params, opt_state), ls = jax.lax.scan(body, (params, opt_state),
+                                                   seeds)
+            return params, opt_state, ls
+
+        @jax.jit
+        def one_iter(params, opt_state, ref, seed):
+            (params, opt_state), ls = body((params, opt_state), seed)
+            return params, opt_state, ls
+
     ref = jnp.full((batch, 3), 0.3, jnp.float32)
     if n_dev > 1:
+        sensor_idx, pixels = sample_batch_pixels(jnp.uint32(1), 16,
+                                                 bundle.film_size, batch)
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
         sensor_idx, pixels, ref = shard_batch(mesh, (sensor_idx, pixels, ref))
 
-    # compile + warmup
-    params, opt_state, loss = step(params, opt_state, sensor_idx, pixels,
-                                   ref, jnp.uint32(0), jnp.uint32(1))
-    jax.block_until_ready(params)
-
-    t0 = time.time()
-    for i in range(iters):
+        # compile + warmup
         params, opt_state, loss = step(params, opt_state, sensor_idx, pixels,
-                                       ref, jnp.uint32(2 * i + 2),
-                                       jnp.uint32(2 * i + 3))
-    jax.block_until_ready(params)
-    dt = time.time() - t0
+                                       ref, jnp.uint32(0), jnp.uint32(1))
+        jax.block_until_ready(params)
+
+        t0 = time.time()
+        for i in range(iters):
+            params, opt_state, loss = step(params, opt_state, sensor_idx,
+                                           pixels, ref, jnp.uint32(2 * i + 2),
+                                           jnp.uint32(2 * i + 3))
+        jax.block_until_ready(params)
+        dt = time.time() - t0
+    else:
+        seeds = jnp.arange(1, iters + 1, dtype=jnp.uint32)
+        if os.environ.get("BENCH_SCAN", "1") == "1":
+            # compile + warmup (same static scan length as the timed call)
+            params, opt_state, ls = run_iters(params, opt_state, ref, seeds)
+            float(ls.sum())                    # data-dependent host fetch
+
+            t0 = time.time()
+            params, opt_state, ls = run_iters(params, opt_state, ref,
+                                              seeds + jnp.uint32(iters))
+            float(ls.sum())
+            dt = time.time() - t0
+        else:
+            params, opt_state, ls = one_iter(params, opt_state, ref,
+                                             jnp.uint32(0))
+            float(ls.sum())
+
+            t0 = time.time()
+            for i in range(iters):
+                params, opt_state, ls = one_iter(params, opt_state, ref,
+                                                 seeds[i])
+            float(ls.sum())
+            dt = time.time() - t0
 
     rays_per_iter = batch * (spp + 2 * spp_grad)
     mrays = rays_per_iter * iters / dt / 1e6

@@ -104,6 +104,45 @@ def test_tiny_optimization_reduces_loss(tmp_path):
                                        "final-medium1_sigma_t.vol"))
 
 
+def test_scan_chunked_loop_matches_host_loop(tmp_path):
+    """The device-resident lax.scan inner loop (scan_stride>1) must follow
+    the exact host-loop trajectory: same TEA seeds, same pixel draws, same
+    metric records, matching params (optimize.py:325-358 semantics)."""
+    from uivr_tpu.config import cube_test_scene
+    from uivr_tpu.integrators import NerfConfig
+
+    b = cube_test_scene(resx=16, resy=16)
+    b.start_from = MediumParams(
+        sigma_t=jnp.full_like(b.params.sigma_t, 0.05),
+        albedo=jnp.full_like(b.params.albedo, 0.5),
+        emission=jnp.full_like(b.params.emission, 0.05))
+    outs = {}
+    for tag, stride in (("host", 0), ("scan", 7)):
+        opt = OptimizationConfig(name=tag, spp=2, n_iter=23, lr=2e-2,
+                                 primal_spp_factor=2, batch_size=128,
+                                 checkpoint_stride=10, preview_stride=10**9,
+                                 render_initial=False, render_final=False,
+                                 scan_stride=stride)
+        out = str(tmp_path / tag)
+        params = run_optimization(out, opt, b, NerfConfig(queries_per_ray=8),
+                                  ref_spp=4, verbose=False, resume=False)
+        metrics = [json.loads(l)
+                   for l in open(os.path.join(out, "metrics.jsonl"))]
+        outs[tag] = (params, [(m["it"], m["loss"]) for m in metrics
+                              if "loss" in m])
+        # mid-run checkpoint written in both modes
+        assert os.path.isfile(os.path.join(
+            out, "params", f"{10:08d}-medium1_sigma_t.vol"))
+
+    (p_h, m_h), (p_s, m_s) = outs["host"], outs["scan"]
+    assert [it for it, _ in m_h] == [it for it, _ in m_s]
+    np.testing.assert_allclose([l for _, l in m_h], [l for _, l in m_s],
+                               rtol=1e-5)
+    for a, c in zip(p_h, p_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
+                                   atol=1e-6)
+
+
 def test_optimization_with_upsampling(tmp_path):
     """Multires schedule: grids start downscaled, double at the milestone,
     optimizer state resets, loss stays finite (optimize.py:203-252)."""

@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--ref-spp", type=int, default=None)
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard over N devices (0 = single device)")
+    ap.add_argument("--scan-stride", type=int, default=10,
+                    help="iterations per device-resident lax.scan chunk "
+                         "(0 = host loop; single-device only)")
     args = ap.parse_args(argv)
 
     scene_preset = get_scene_config(args.config)
@@ -101,6 +104,7 @@ def main(argv=None):
 
         opt = _opt_for(args.config, int_name, args.scale)
         opt.lr_factors = dict(scene_preset.param_lr_factors)
+        opt.scan_stride = args.scan_stride
         int_cfg = preset.create(max_depth=scene_preset.max_depth)
         print(f"[run] scene={args.config} integrator={int_name} "
               f"iters={opt.n_iter} batch={opt.batch_size}")

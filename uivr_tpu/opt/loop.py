@@ -64,6 +64,13 @@ class OptimizationConfig:
     loss: Callable = staticmethod(losses_mod.l1)
     lr_factors: Dict[str, float] = field(
         default_factory=lambda: {"albedo": 2.0})
+    # Device-resident inner loop: scan up to this many iterations inside ONE
+    # jitted program between host events (upsample / LR change / checkpoint
+    # / preview).  0 = host loop (one dispatch per iteration).  On the TPU
+    # relay, per-dispatch latency is large and host-loop timing is
+    # unreliable, so production presets enable this; seeds/pixel draws are
+    # identical to the host loop either way.
+    scan_stride: int = 0
 
     def __post_init__(self):
         self.upsample_at = upsample_iterations(self.upsample, self.n_iter)
@@ -200,10 +207,33 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
         previews(params, "init")
 
     t_start = time.time()
-    for it in range(start_it, opt.n_iter):
-        seed, _ = sample_tea_32(2 * it + 0, opt.base_seed)
-        seed_grad, _ = sample_tea_32(2 * it + 1, opt.base_seed)
+    use_scan = bool(opt.scan_stride and opt.scan_stride > 1 and mesh is None)
+    if use_scan:
+        chunk_fn = _make_chunk(opt, settings, bundle)
+        cut_before = sorted(set(opt.upsample_at)
+                            | _lr_change_iterations(opt))
+        ref_dev = jnp.asarray(ref_images)
 
+    def log_metrics(it, lv):
+        rec = {"it": it, "loss": lv,
+               "elapsed_s": round(time.time() - t_start, 3)}
+        metrics_f.write(json.dumps(rec) + "\n")
+        metrics_f.flush()
+        if verbose and (it % 100 == 0):
+            print(f"[{opt.name}] it {it:6d} loss {lv:.6f}")
+
+    def post_events(it):
+        """Host actions the reference performs after finishing iteration
+        ``it`` (optimize.py:357-365)."""
+        if opt.checkpoint_stride and it > 0 and it % opt.checkpoint_stride == 0:
+            save_checkpoint(join(output_dir, "params"), params, f"{it:08d}")
+            save_state(state_path, params, opt_state, it)
+        if opt.preview_stride and it > 0 and it % opt.preview_stride == 0 \
+                and opt.preview_stride <= opt.n_iter:
+            previews(params, f"{it:08d}")
+
+    it = start_it
+    while it < opt.n_iter:
         if it in opt.upsample_at:
             params = upsample_params(params)
             opt_state = reset_state_like(params)
@@ -213,28 +243,33 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
 
         lr = learning_rates(opt.lr, opt.lr_schedule, it, opt.n_iter,
                             opt.lr_factors)
-        sensor_idx, pixels = sample_batch_pixels(
-            jnp.uint32(seed), n_sensors, bundle.film_size, opt.batch_size)
-        ref = gather_ref_values(ref_images, sensor_idx, pixels)
-        params, opt_state, loss_val = step_fn(
-            params, opt_state, bundle.emitter, bundle.cameras, sensor_idx,
-            pixels, ref, jnp.uint32(seed), jnp.uint32(seed_grad), lr)
-
-        if (it % 10) == 0 or it == opt.n_iter - 1:
-            lv = float(loss_val)
-            rec = {"it": it, "loss": lv,
-                   "elapsed_s": round(time.time() - t_start, 3)}
-            metrics_f.write(json.dumps(rec) + "\n")
-            metrics_f.flush()
-            if verbose and (it % 100 == 0):
-                print(f"[{opt.name}] it {it:6d} loss {lv:.6f}")
-
-        if opt.checkpoint_stride and it > 0 and it % opt.checkpoint_stride == 0:
-            save_checkpoint(join(output_dir, "params"), params, f"{it:08d}")
-            save_state(state_path, params, opt_state, it)
-        if opt.preview_stride and it > 0 and it % opt.preview_stride == 0 \
-                and opt.preview_stride <= opt.n_iter:
-            previews(params, f"{it:08d}")
+        if use_scan:
+            end = _chunk_end(it, opt, cut_before)
+            its = jnp.arange(it, end, dtype=jnp.uint32)
+            params, opt_state, ls = chunk_fn(params, opt_state, ref_dev,
+                                             its, lr)
+            ls = np.asarray(ls)
+            for j, it2 in enumerate(range(it, end)):
+                if (it2 % 10) == 0 or it2 == opt.n_iter - 1:
+                    log_metrics(it2, float(ls[j]))
+            it2 = end - 1
+            post_events(it2)
+            it = end
+        else:
+            seed, _ = sample_tea_32(2 * it + 0, opt.base_seed)
+            seed_grad, _ = sample_tea_32(2 * it + 1, opt.base_seed)
+            sensor_idx, pixels = sample_batch_pixels(
+                jnp.uint32(seed), n_sensors, bundle.film_size,
+                opt.batch_size)
+            ref = gather_ref_values(ref_images, sensor_idx, pixels)
+            params, opt_state, loss_val = step_fn(
+                params, opt_state, bundle.emitter, bundle.cameras,
+                sensor_idx, pixels, ref, jnp.uint32(seed),
+                jnp.uint32(seed_grad), lr)
+            if (it % 10) == 0 or it == opt.n_iter - 1:
+                log_metrics(it, float(loss_val))
+            post_events(it)
+            it += 1
 
     if opt.checkpoint_final:
         save_checkpoint(join(output_dir, "params"), params, "final")
@@ -275,3 +310,83 @@ def _make_step(opt: OptimizationConfig, settings: RenderSettings,
         return params, opt_state, loss_val
 
     return step
+
+
+def _lr_change_iterations(opt: OptimizationConfig) -> set:
+    """Iterations where the LR schedule factor changes (chunk boundaries —
+    LR is passed to the scanned chunk as a constant)."""
+    from .schedule import schedule_factor
+    out = set()
+    prev = schedule_factor(opt.lr_schedule, 0, opt.n_iter)
+    for it in range(1, opt.n_iter):
+        f = schedule_factor(opt.lr_schedule, it, opt.n_iter)
+        if f != prev:
+            out.add(it)
+            prev = f
+    return out
+
+
+def _next_post_event(pos: int, stride: Optional[int]) -> int:
+    """Smallest iteration e >= pos with (e > 0 and e % stride == 0)."""
+    if not stride:
+        return 1 << 60
+    e = ((pos + stride - 1) // stride) * stride
+    return e if e > 0 else stride
+
+
+def _chunk_end(pos: int, opt: OptimizationConfig, cut_before) -> int:
+    """End (exclusive) of the scanned chunk starting at ``pos``: stop
+    BEFORE upsample/LR-change iterations and right AFTER checkpoint/preview
+    iterations, never exceeding scan_stride iterations."""
+    end = min(pos + opt.scan_stride, opt.n_iter)
+    for u in cut_before:
+        if pos < u < end:
+            end = u
+            break
+    e = _next_post_event(pos, opt.checkpoint_stride)
+    end = min(end, e + 1)
+    if opt.preview_stride and opt.preview_stride <= opt.n_iter:
+        e = _next_post_event(pos, opt.preview_stride)
+        end = min(end, e + 1)
+    return end
+
+
+def _make_chunk(opt: OptimizationConfig, settings: RenderSettings,
+                bundle: SceneBundle):
+    """Jitted device-resident chunk: lax.scan of whole optimization steps
+    (seed derivation, pixel sampling, ref gather, render fwd+adjoint, Adam,
+    projection) — one dispatch per chunk.  Seeds and pixel draws are
+    bit-identical to the host loop (_make_step path)."""
+    render = make_render(settings, bundle.to_world)
+    loss_fn = opt.loss
+    max_density = bundle.max_density
+    opt_step = adam_step if opt.opt_type == "adam" else sgd_step
+    n_sensors = bundle.cameras.n_sensors
+    base_seed = jnp.uint32(opt.base_seed)
+
+    @jax.jit
+    def run_chunk(params, opt_state, ref_images, its, lr):
+        def body(carry, it):
+            params, opt_state = carry
+            seed, _ = sample_tea_32(jnp.uint32(2) * it, base_seed)
+            seed_grad, _ = sample_tea_32(jnp.uint32(2) * it + jnp.uint32(1),
+                                         base_seed)
+            sensor_idx, pixels = sample_batch_pixels(
+                seed, n_sensors, bundle.film_size, opt.batch_size)
+            ref = gather_ref_values(ref_images, sensor_idx, pixels)
+
+            def f(p):
+                img = render(p, bundle.emitter, bundle.cameras, sensor_idx,
+                             pixels, seed, seed_grad)
+                return loss_fn(img, ref)
+
+            loss_val, grads = jax.value_and_grad(f)(params)
+            params, opt_state = opt_step(params, grads, opt_state, lr)
+            params = enforce_valid_params(params, max_density)
+            return (params, opt_state), loss_val
+
+        (params, opt_state), ls = jax.lax.scan(body, (params, opt_state),
+                                               its)
+        return params, opt_state, ls
+
+    return run_chunk
