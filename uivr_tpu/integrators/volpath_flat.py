@@ -302,13 +302,19 @@ def _flat_step(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
     return out, ev
 
 
-def _finish(cfg: VolpathConfig, scene: Scene, c: _FlatCarry) -> jnp.ndarray:
-    """Envmap contribution on escape with NEE MIS (volpathsimple.py:262-288)."""
+def _finish(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
+            nee_emitter=None) -> jnp.ndarray:
+    """Envmap contribution on escape with NEE MIS (volpathsimple.py:262-288).
+
+    ``nee_emitter``: emitter whose pdf the NEE strategy actually sampled
+    with (the coarse proxy in the Pallas deferred-radiance mode) — MIS
+    weights on both strategies must use the same pdf pair to partition to 1;
+    radiance is always evaluated on the full-res emitter."""
     active_e = c.escaped
     if cfg.hide_emitters:
         active_e = active_e & ~(c.depth <= 0)
     if cfg.use_nee:
-        epdf = scene.emitter.pdf_direction(c.d_w)
+        epdf = (nee_emitter or scene.emitter).pdf_direction(c.d_w)
         epdf = jnp.where(c.has_scattered, epdf, 0.0)
         w = mis_weight(c.last_pdf, epdf)[:, None]
     else:

@@ -78,7 +78,7 @@ F32_PLANES = ("ox", "oy", "oz", "dlx", "dly", "dlz", "dwx", "dwy", "dwz",
               "t", "maxt", "thr0", "thr1", "thr2", "res0", "res1", "res2",
               "lpdf", "shdx", "shdy", "shdz", "sht", "shtmax", "shtr",
               "shb0", "shb1", "shb2")
-I32_PLANES = ("mode", "depth", "flags", "h", "dim")
+I32_PLANES = ("mode", "depth", "flags", "h", "dim", "shtex")
 PRE_PLANES = ("px", "py", "pz", "tcand", "texit", "smaj", "uevt")
 ALL_PLANES = F32_PLANES + I32_PLANES + PRE_PLANES
 N_STATE = len(F32_PLANES) + len(I32_PLANES)
@@ -118,8 +118,18 @@ class StepSpec:
     use_nee: bool
     phase_iso: bool
     emitter_kind: str = "const"     # 'const' | 'envmap'
-    em_h: int = 0                   # envmap dims (texels = em_h * em_w_)
-    em_w_: int = 0
+    em_h: int = 0                   # envmap SAMPLING dims (the in-VMEM alias
+    em_w_: int = 0                  #   table; texels = em_h * em_w_)
+    # Deferred-radiance mode for large envmaps: > 0 means the kernel samples
+    # NEE directions from a COARSE (em_h, em_w_) alias table (the emitter's
+    # `nee` proxy) and emits the FULL-RES (em_fh, em_fw) texel index in the
+    # `shtex` plane; the XLA step wrapper then multiplies the full-res
+    # radiance row into shb (one row gather per step).  Unbiased: the pdf
+    # divided out is exactly the coarse sampling pdf, whose support covers
+    # the radiance (1e-12 pmf floor), and escape MIS uses the same coarse
+    # pdf (volpath_flat._finish nee_emitter).
+    em_fh: int = 0
+    em_fw: int = 0
     adjoint: bool = False
     tgs: int = 0                    # trans_grad_samples (adjoint only)
     use_drt: bool = False
@@ -157,7 +167,9 @@ class StepTables(NamedTuple):
     #                      do_post[13], em_to_world[14:23]
 
 
-def build_tables(scene: Scene) -> StepTables:
+def build_tables(scene: Scene, em_nee=None) -> StepTables:
+    """``em_nee``: coarse sampling emitter for deferred-radiance NEE — its
+    alias channels (4 rows/chunk, NO radiance) become the kernel table."""
     m = scene.medium
     Tm = int(np.prod(m.majorant_grid.shape))
     nc = -(-Tm // 128)
@@ -165,18 +177,19 @@ def build_tables(scene: Scene) -> StepTables:
                   (0, nc * 128 - Tm)).reshape(nc, 128)
     w2l = m.world_to_local[:3, :3].reshape(9)
     if isinstance(scene.emitter, EnvmapEmitter):
-        e = scene.emitter
+        e = em_nee if em_nee is not None else scene.emitter
         N = e.flat_data.shape[0]
         enc = -(-N // 128)
 
         def ch(x):
             return jnp.pad(x, (0, enc * 128 - N)).reshape(enc, 128)
 
-        em = jnp.concatenate([
-            ch(e.alias_tab[:, 0]), ch(e.alias_tab[:, 1]),
-            ch(e.alias_tab[:, 2]), ch(e.alias_tab[:, 3]),
-            ch(e.flat_data[:, 0]), ch(e.flat_data[:, 1]),
-            ch(e.flat_data[:, 2])], axis=0)
+        chans = [ch(e.alias_tab[:, 0]), ch(e.alias_tab[:, 1]),
+                 ch(e.alias_tab[:, 2]), ch(e.alias_tab[:, 3])]
+        if em_nee is None:
+            chans += [ch(e.flat_data[:, 0]), ch(e.flat_data[:, 1]),
+                      ch(e.flat_data[:, 2])]
+        em = jnp.concatenate(chans, axis=0)
         em_const = jnp.zeros(3, jnp.float32)
         em2w = e.to_world.reshape(9)
     else:
@@ -377,6 +390,8 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     resume_main = ~acc_escape
 
     # ---- NEE direction sampling (emitters.py sample_direction port) ------
+    # shtex < 0 = no pending deferred-radiance multiply (see StepSpec.em_fh)
+    shtex_n = jnp.full_like(v["shtex"], -1)
     if spec.use_nee:
         u_e1 = draw(scat)
         u_e2 = draw(scat)
@@ -419,15 +434,25 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
             sin_t = jnp.sin(jnp.clip(ve, 1e-4, 1.0 - 1e-4)
                             * jnp.float32(np.pi))
             ds_pdf = (pmf * N) / (jnp.float32(2.0 * np.pi * np.pi) * sin_t)
-            val0 = _chunk_shuffle(em_ref, texel, 4 * nc, nc)
-            val1 = _chunk_shuffle(em_ref, texel, 5 * nc, nc)
-            val2 = _chunk_shuffle(em_ref, texel, 6 * nc, nc)
             inv_pdf = jnp.where(ds_pdf > 0.0,
                                 1.0 / jnp.maximum(ds_pdf, 1e-20), 0.0)
-            ew0 = val0 * inv_pdf
-            ew1 = val1 * inv_pdf
-            ew2 = val2 * inv_pdf
             nee_ok = scat & (ds_pdf > 0.0)
+            if spec.em_fh:
+                # deferred radiance: emit the FULL-RES texel under (ue, ve);
+                # the step wrapper multiplies flat_data[texel] into shb
+                colf = jnp.minimum((ue * spec.em_fw).astype(jnp.int32),
+                                   spec.em_fw - 1)
+                rowf = jnp.minimum((ve * spec.em_fh).astype(jnp.int32),
+                                   spec.em_fh - 1)
+                shtex_n = jnp.where(nee_ok, rowf * spec.em_fw + colf, -1)
+                ew0 = ew1 = ew2 = inv_pdf
+            else:
+                val0 = _chunk_shuffle(em_ref, texel, 4 * nc, nc)
+                val1 = _chunk_shuffle(em_ref, texel, 5 * nc, nc)
+                val2 = _chunk_shuffle(em_ref, texel, 6 * nc, nc)
+                ew0 = val0 * inv_pdf
+                ew1 = val1 * inv_pdf
+                ew2 = val2 * inv_pdf
         else:
             zdir = 1.0 - 2.0 * u_e1
             rr_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
@@ -697,7 +722,7 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
         thr0=thr0, thr1=thr1, thr2=thr2, res0=res0, res1=res1, res2=res2,
         lpdf=lpdf, shdx=shdx, shdy=shdy, shdz=shdz, sht=sht,
         shtmax=shtmax, shtr=shtr, shb0=shb0, shb1=shb1, shb2=shb2,
-        mode=mode, depth=depth, flags=flags, h=h, dim=dim,
+        mode=mode, depth=depth, flags=flags, h=h, dim=dim, shtex=shtex_n,
         px=n_px, py=n_py, pz=n_pz, tcand=n_tcand, texit=n_texit,
         smaj=n_smaj, uevt=n_uevt)
     if spec.adjoint:
@@ -743,7 +768,7 @@ def _make_call(spec: StepSpec):
 
     state = pl.BlockSpec((Rb, 128), slab, memory_space=pltpu.VMEM)
     nc = max(spec.n_chunks, 1)
-    emr = max(7 * spec.em_chunks, 1)
+    emr = max((4 if spec.em_fh else 7) * spec.em_chunks, 1)
     n_planes = spec.n_planes
     in_specs = [
         pl.BlockSpec((1, 24), fixed, memory_space=pltpu.SMEM),
@@ -802,6 +827,7 @@ def pack_carry(c: _FlatCarry, R: int) -> PlanesCarry:
         p(c.mode).astype(jnp.int32), p(c.depth).astype(jnp.int32),
         p(flags).astype(jnp.int32),
         p(c.smp.h).view(jnp.int32), p(c.smp.dim).view(jnp.int32),
+        jnp.full((R, 128), -1, jnp.int32),      # shtex: no pending NEE
         z, z, z, z, z, z, z)
     return PlanesCarry(planes=planes, it=c.it)
 
@@ -858,7 +884,10 @@ def pallas_supported(scene: Scene, n: int, cfg: VolpathConfig = None) -> bool:
     m = scene.medium
     Tm = int(np.prod(m.majorant_grid.shape))
     if isinstance(scene.emitter, EnvmapEmitter):
-        em_ok = scene.emitter.flat_data.shape[0] <= 8192
+        # any size: > _EM_MAX_TEXELS uses the coarse nee proxy + deferred
+        # full-res radiance (make_envmap builds nee for all large maps)
+        em_ok = (scene.emitter.flat_data.shape[0] <= _EM_MAX_TEXELS
+                 or scene.emitter.nee is not None)
     else:
         em_ok = isinstance(scene.emitter, ConstantEmitter)
     return (em_ok and m.combined_ct is not None
@@ -910,21 +939,60 @@ def _sigma_albedo_planes(m, px, py, pz):
     return out[..., 0] * m.scale, out[..., 1], out[..., 2], out[..., 3]
 
 
+_EM_MAX_TEXELS = 8192     # largest alias table kept at full res in VMEM
+
+
+def _em_dims(scene: Scene):
+    """Kernel emitter geometry: (kind, sampling H, W, fine fh, fw, em_nee).
+
+    Envmaps above _EM_MAX_TEXELS sample from the coarse ``nee`` proxy with
+    deferred full-res radiance (fh, fw > 0)."""
+    e = scene.emitter
+    if not isinstance(e, EnvmapEmitter):
+        return "const", 0, 0, 0, 0, None
+    H, W, _ = e.data.shape
+    if H * W <= _EM_MAX_TEXELS or e.nee is None:
+        return "envmap", H, W, 0, 0, None
+    Hc, Wc, _ = e.nee.data.shape
+    return "envmap", Hc, Wc, H, W, e.nee
+
+
+def _deferred_nee_fixup(names, emitter):
+    """Per-step XLA fix-up for deferred-radiance NEE: one full-res row
+    gather (flat_data[shtex]) multiplied into the shadow-ray base weights of
+    lanes that just created a shadow walk (shtex >= 0), then cleared.  Runs
+    before the next kernel call, so the in-kernel shb consumers (commit,
+    adjoint sha) always see radiance-complete weights."""
+    i_tex = names.index("shtex")
+    i_b = [names.index(f"shb{c}") for c in range(3)]
+    flat = emitter.flat_data
+
+    def fix(planes):
+        tex = planes[i_tex]
+        mask = tex >= 0
+        rad = flat[jnp.maximum(tex, 0).reshape(-1)]
+        planes = list(planes)
+        for c in range(3):
+            rc = rad[:, c].reshape(tex.shape)
+            planes[i_b[c]] = jnp.where(mask, planes[i_b[c]] * rc,
+                                       planes[i_b[c]])
+        planes[i_tex] = jnp.where(mask, -1, tex)
+        return tuple(planes)
+    return fix
+
+
 def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
-    if isinstance(scene.emitter, EnvmapEmitter):
-        He, We, _ = scene.emitter.data.shape
-        ek = "envmap"
-    else:
-        He = We = 0
-        ek = "const"
+    ek, He, We, fh, fw, em_nee = _em_dims(scene)
     spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
-                    emitter_kind=ek, em_h=He, em_w_=We, interpret=interpret)
+                    emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
+                    interpret=interpret)
     call = _make_call(spec)
-    tables = build_tables(scene)
+    tables = build_tables(scene, em_nee)
+    fix = _deferred_nee_fixup(ALL_PLANES, scene.emitter) if fh else None
 
     def step(pc: PlanesCarry, do_post: bool) -> PlanesCarry:
         d = dict(zip(ALL_PLANES, pc.planes))
@@ -935,9 +1003,11 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
             sig = jnp.zeros((R, 128), jnp.float32)
             a0 = a1 = a2 = sig
         scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
-        planes = call(scal, tables.maj, tables.em, sig, a0, a1, a2,
-                      *pc.planes)
-        return PlanesCarry(planes=tuple(planes),
+        planes = tuple(call(scal, tables.maj, tables.em, sig, a0, a1, a2,
+                            *pc.planes))
+        if fix is not None and do_post:
+            planes = fix(planes)
+        return PlanesCarry(planes=planes,
                            it=pc.it + (1 if do_post else 0))
     return step
 
@@ -995,7 +1065,7 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          active_of, pc, sched, n, max_iters=cfg.max_steps)
 
     carry = unpack_carry(pc, n)
-    L = _finish(cfg, scene, carry)[:n_req]
+    L = _finish(cfg, scene, carry, nee_emitter=_em_dims(scene)[5])[:n_req]
     if return_state:
         return L, carry.escaped[:n_req], pc
     return L, carry.escaped[:n_req]
@@ -1041,22 +1111,19 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
     from ..scene.gradients import scatter_sigma, scatter_sigma_albedo
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
-    if isinstance(scene.emitter, EnvmapEmitter):
-        He, We, _ = scene.emitter.data.shape
-        ek = "envmap"
-    else:
-        He = We = 0
-        ek = "const"
+    ek, He, We, fh, fw, em_nee = _em_dims(scene)
     spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
-                    emitter_kind=ek, em_h=He, em_w_=We,
+                    emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
                     adjoint=True, tgs=cfg.trans_grad_samples,
                     use_drt=cfg.use_drt, use_drt_mis=cfg.use_drt_mis,
                     use_drt_sub=cfg.use_drt_subsampling,
                     interpret=interpret)
     call = _make_call(spec)
-    tables = build_tables(scene)
+    tables = build_tables(scene, em_nee)
+    fix = (_deferred_nee_fixup(ALL_PLANES + ADJ_PLANES, scene.emitter)
+           if fh else None)
     n = R * 128
     sout = _scatter_outs(spec.tgs)
 
@@ -1071,6 +1138,8 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
         scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
         out = call(scal, tables.maj, tables.em, sig, a0, a1, a2, *c.planes)
         planes = tuple(out[:N_ADJ])
+        if fix is not None and do_post:
+            planes = fix(planes)
         acc = c.acc
         if do_post:
             sc = dict(zip(sout, out[N_ADJ:]))

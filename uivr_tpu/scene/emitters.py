@@ -13,7 +13,8 @@ returns (direction, solid-angle pdf, radiance/pdf) to match Mitsuba's
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +69,13 @@ class EnvmapEmitter(NamedTuple):
     # radiance with pre-divided pdf-free values per texel (H*W, 3) = data rows
     flat_data: jnp.ndarray
     to_world: jnp.ndarray   # (3, 3)
+    # Coarse proxy emitter for in-kernel NEE on maps too large for VMEM
+    # chunk tables (built once, host-side, in make_envmap; None when the
+    # full-res map is small enough).  The Pallas engine SAMPLES directions
+    # from nee's alias table / pdf and evaluates radiance at FULL res — the
+    # 1e-12 pmf floor in make_envmap guarantees nee covers the support of
+    # the radiance, so the estimator stays unbiased.
+    nee: Optional["EnvmapEmitter"] = None
 
     # ---- direction <-> uv ------------------------------------------------
     def _dir_to_uv(self, d: jnp.ndarray) -> jnp.ndarray:
@@ -176,8 +184,37 @@ def _build_alias(pmf: np.ndarray):
     return alias, prob
 
 
-def make_envmap(data: np.ndarray, to_world: np.ndarray = None) -> EnvmapEmitter:
-    """Build pmf + alias tables for a (H, W, 3) radiance map."""
+def _area_downsample(data: np.ndarray, max_texels: int) -> np.ndarray:
+    """Exact area-weighted mean downsample of (H, W, 3) so that the result
+    has at most ``max_texels`` texels (aspect preserved; arbitrary dims —
+    coarse/fine cell boundaries need not align)."""
+    H, W, _ = data.shape
+    k = 1
+    while -(-H // k) * -(-W // k) > max_texels:
+        k += 1
+    Hc, Wc = -(-H // k), -(-W // k)
+
+    def overlap(nc, nf):
+        # A[i, j] = |[i/nc,(i+1)/nc] ∩ [j/nf,(j+1)/nf]| * nc  (rows sum to 1)
+        i = np.arange(nc, dtype=np.float64)[:, None]
+        j = np.arange(nf, dtype=np.float64)[None, :]
+        lo = np.maximum(i / nc, j / nf)
+        hi = np.minimum((i + 1) / nc, (j + 1) / nf)
+        return (np.maximum(hi - lo, 0.0) * nc).astype(np.float64)
+
+    Ah = overlap(Hc, H)
+    Aw = overlap(Wc, W)
+    out = np.einsum("ij,jwc,kw->ikc", Ah, data.astype(np.float64), Aw)
+    return out.astype(np.float32)
+
+
+def make_envmap(data: np.ndarray, to_world: np.ndarray = None,
+                nee_max_texels: int = 8192) -> EnvmapEmitter:
+    """Build pmf + alias tables for a (H, W, 3) radiance map.
+
+    Maps larger than ``nee_max_texels`` also get a coarse ``nee`` proxy
+    (target size ``UIVR_NEE_COARSE_TEX``, default 2048 texels) used by the
+    Pallas engine for in-kernel NEE sampling."""
     data = np.asarray(data, np.float32)
     H, W, _ = data.shape
     lum = data @ np.array([0.2126, 0.7152, 0.0722], np.float32)
@@ -194,7 +231,13 @@ def make_envmap(data: np.ndarray, to_world: np.ndarray = None) -> EnvmapEmitter:
                          axis=-1).astype(np.float32)
     if to_world is None:
         to_world = np.eye(3, dtype=np.float32)
+    nee = None
+    if nee_max_texels and H * W > nee_max_texels:
+        tgt = int(os.environ.get("UIVR_NEE_COARSE_TEX", 2048))
+        nee = make_envmap(_area_downsample(data, tgt), to_world,
+                          nee_max_texels=0)
     return EnvmapEmitter(
+        nee=nee,
         data=jnp.asarray(data),
         row_pmf=jnp.asarray(row_pmf),
         cond_pmf=jnp.asarray(cond_pmf),
