@@ -75,3 +75,54 @@ def test_flat_primal_deterministic(setup):
                                   np.asarray(f(jnp.uint32(9))))
     assert np.abs(np.asarray(f(jnp.uint32(9))) -
                   np.asarray(f(jnp.uint32(10)))).max() > 0
+
+
+def test_shadow_rr_unbiased_and_fewer_steps():
+    """Shadow-walk RR preserves the estimate (value unbiasedness) while
+    cutting per-lane tracking work on a dense medium; the adjoint gradients
+    stay consistent (detached-q pathwise estimator)."""
+    from uivr_tpu.config import smoke_scene
+    b = smoke_scene(res=16, resx=32, resy=32, n_sensors=2)
+    sc = Scene(medium=finalize_medium(b.params, b.medium_cfg, b.to_world),
+               emitter=b.emitter, cameras=b.cameras)
+    rng = np.random.RandomState(3)
+    n = 2048
+    uv = jnp.asarray(rng.rand(n, 2) * 0.6 + 0.2, jnp.float32)
+    o, d = sample_rays(b.cameras, jnp.zeros((n,), jnp.int32), uv)
+
+    def run(rr, seed):
+        cfg = VolpathConfig(max_depth=16, shadow_rr=rr)
+        L, _, st = jax.jit(lambda s: vf.sample_primal(
+            cfg, sc, o, d, s, return_stats=True))(jnp.uint32(seed))
+        return (np.asarray(L), np.asarray(st["lane_dims"])
+                .astype(np.int64).mean())
+
+    # same seed: RR kills can only SHORTEN walks (reused u_evt draw)
+    L0, w0 = run(0.0, 1)
+    L1, w1 = run(0.1, 1)
+    assert w1 < 0.9 * w0, (w1, w0)
+    # unbiasedness: means over lanes agree (independent-seed realizations)
+    L1b, _ = run(0.1, 2)
+    m0, m1 = L0.mean(0), np.concatenate([L1, L1b]).mean(0)
+    np.testing.assert_allclose(m0, m1, rtol=0.08, atol=5e-3)
+
+    def grad(rr, seed):
+        cfg = VolpathConfig(max_depth=8, shadow_rr=rr, trans_grad_samples=2)
+        L, _ = vf.sample_primal(cfg, sc, o, d, seed)
+        dL = jnp.full((n, 3), 1.0 / (n * 3))
+        g = vf.sample_adjoint(cfg, sc, o, d, seed, dL, L, schedule=None)
+        return np.concatenate([np.asarray(x).ravel() for x in
+                               (g.sigma_t, g.albedo)])
+
+    g0 = grad(0.0, jnp.uint32(7))
+    g1 = grad(0.1, jnp.uint32(7))
+    assert np.isfinite(g1).all()
+    # same-seed realizations share every non-shadow stream; only NEE
+    # contributions/cotangents differ.  Calibration (2026-08-18): two
+    # INDEPENDENT-seed realizations of the rr=0 estimator agree at only
+    # cos ~0.30 at this sample count (variance-dominated), and 8-seed
+    # rr-on vs rr-off averages match that floor exactly (no bias signal);
+    # the same-seed pair measured 0.90.
+    cos = float(g0 @ g1 / max(np.linalg.norm(g0) * np.linalg.norm(g1),
+                              1e-12))
+    assert cos > 0.85, cos

@@ -367,3 +367,27 @@ def test_render_grad_large_envmap_deferred(smoke_bigenv):
     floor = cos(f3, f5)            # seed-to-seed noise of the flat engine
     got = cos(p3, f3)
     assert got > min(floor - 0.1, 0.98), (got, floor)
+
+
+def test_kernel_shadow_rr_matches_flat(smoke):
+    """shadow_rr must keep the pallas/flat realization equivalence (same
+    u_evt reuse, same replay decisions) for primal AND adjoint."""
+    sc, o, d = smoke
+    n = o.shape[0]
+    cfg = VolpathConfig(max_depth=8, shadow_rr=0.1, trans_grad_samples=2)
+    seed = jnp.uint32(31)
+    Lf, _ = vf.sample_primal(cfg, sc, o, d, seed)
+    Lp, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True)
+    agree = np.mean(np.all(np.abs(np.asarray(Lf) - np.asarray(Lp)) < 1e-5,
+                           axis=-1))
+    assert agree > 0.985, agree
+    dL = jnp.full((n, 3), 1.0 / (3 * n), jnp.float32)
+    gf = vf.sample_adjoint(cfg, sc, o, d, seed, dL, Lf, schedule=None)
+    gp = vk.sample_adjoint_pallas(cfg, sc, o, d, seed, dL, Lp,
+                                  schedule=None, interpret=True)
+    for a, b in zip((gf.sigma_t, gf.albedo), (gp.sigma_t, gp.albedo)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).sum() / max(np.abs(a).sum(), 1e-12)
+        assert rel < 0.05, rel

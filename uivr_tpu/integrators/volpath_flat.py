@@ -120,6 +120,7 @@ class _StepEvents(NamedTuple):
     alb: jnp.ndarray             # (n,3)
     thr_pre: jnp.ndarray         # (n,3) throughput BEFORE albedo
     is_rp: jnp.ndarray           # (n,)
+    u_evt: jnp.ndarray           # (n,) event draw (replay shadow-RR reuse)
 
 
 def _init_carry(scene: Scene, o, d, smp: LaneSampler,
@@ -209,6 +210,14 @@ def _flat_step(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
     # ================= SHADOW walk (primal transmittance) =================
     sh_coll = is_sh & collided
     sh_tr = jnp.where(sh_coll, c.sh_tr * ratio, c.sh_tr)
+    if cfg.shadow_rr > 0.0:
+        # RR on low-transmittance walks (see VolpathConfig.shadow_rr);
+        # reuses the shadow-lane u_evt draw, q detached
+        tail = sh_coll & (sh_tr < cfg.shadow_rr) & (sh_tr > 0.0)
+        q_sh = sh_tr * (1.0 / cfg.shadow_rr)
+        sh_tr = jnp.where(tail,
+                          jnp.where(u_evt < q_sh,
+                                    jnp.float32(cfg.shadow_rr), 0.0), sh_tr)
     sh_t = jnp.where(is_sh, t_next, c.sh_t)
     sh_done = is_sh & (fin_seg | (sh_tr <= 0.0))
     contrib = c.sh_base * sh_tr[:, None]
@@ -298,7 +307,7 @@ def _flat_step(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
                      collided=collided, fin_seg=fin_seg, t_next=t_next,
                      t_cand=t_cand, real=real, scat=scat, m_escape=m_escape,
                      sh_done=sh_done, contrib=contrib, alb=alb,
-                     thr_pre=thr_pre, is_rp=is_rp)
+                     thr_pre=thr_pre, is_rp=is_rp, u_evt=u_evt)
     return out, ev
 
 
@@ -589,15 +598,19 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
             acc = scatter_sigma(acc, m, p_s, -adj_w * inv_pdf, seg_end)
 
         # ---- shadow walk completed: PRB subtract + schedule REPLAY
+        # (zero-contribution walks — e.g. shadow-RR kills — carry no
+        # cotangent, so they skip the replay re-walk entirely)
         mode = out.mode
         result = out.result - jnp.where(ev.sh_done[:, None], ev.contrib, 0.0)
         sh_adj = jnp.where(ev.sh_done[:, None], dL * ev.contrib, a.sh_adj)
-        rp_dim = jnp.where(ev.sh_done, a.sh_dim0, a.rp_dim)
+        do_rp = ev.sh_done & (jnp.sum(jnp.abs(ev.contrib), axis=-1) > 0.0)
+        rp_dim = jnp.where(do_rp, a.sh_dim0, a.rp_dim)
         rp_t = a.rp_t
         rp_tr = a.rp_tr
-        rp_t = jnp.where(ev.sh_done, 0.0, rp_t)
-        rp_tr = jnp.where(ev.sh_done, 1.0, rp_tr)
-        mode = jnp.where(ev.sh_done, REPLAY, mode)
+        rp_t = jnp.where(do_rp, 0.0, rp_t)
+        rp_tr = jnp.where(do_rp, 1.0, rp_tr)
+        mode = jnp.where(ev.sh_done,
+                         jnp.where(do_rp, REPLAY, out.post_mode), mode)
 
         # ---- REPLAY walk updates: scatter -sum(adj)/sigma_n per collision
         is_rp = ev.is_rp
@@ -606,6 +619,14 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         cot = -jnp.sum(a.sh_adj, axis=-1) / sigma_n
         acc = scatter_sigma(acc, m, p, cot, rp_coll & (ev.ratio > 0.0))
         rp_tr = jnp.where(rp_coll, rp_tr * ev.ratio, rp_tr)
+        if cfg.shadow_rr > 0.0:
+            # mirror the primal shadow-RR decision (same u_evt realization)
+            tail = rp_coll & (rp_tr < cfg.shadow_rr) & (rp_tr > 0.0)
+            q_sh = rp_tr * (1.0 / cfg.shadow_rr)
+            rp_tr = jnp.where(tail,
+                              jnp.where(ev.u_evt < q_sh,
+                                        jnp.float32(cfg.shadow_rr), 0.0),
+                              rp_tr)
         rp_t = jnp.where(is_rp, ev.t_next, rp_t)
         rp_dim = jnp.where(is_rp, rp_dim + jnp.uint32(2), rp_dim)
         rp_fin = is_rp & (ev.fin_seg | (rp_tr <= 0.0))

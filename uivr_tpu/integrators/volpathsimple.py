@@ -58,6 +58,15 @@ class VolpathConfig:
     hide_emitters: bool = False
     max_steps: int = 4096         # tracking-loop trip bound
     trans_grad_samples: int = 4   # volpathsimple.py:584 n_samples
+    # Russian roulette on shadow-walk transmittance (flat + pallas engines;
+    # beyond the reference): once a walk's Tr falls below this threshold it
+    # survives with probability Tr/threshold (Tr reset to the threshold) or
+    # dies (Tr = 0).  Unbiased in value AND gradient: the survival q is
+    # treated as detached, so E_u[1{u<q} C/q] = C pointwise and the replay
+    # cotangent (-1/sigma_n per null collision) is unchanged; the decision
+    # reuses the shadow-lane u_evt draw, so TEA streams and the REPLAY
+    # counter arithmetic are untouched.  0 disables (reference semantics).
+    shadow_rr: float = 0.0
     # 'auto'   = pallas on TPU backends when the scene supports it, else flat
     # 'pallas' = fused Pallas step kernel (ops/volpath_step.py)
     # 'flat'   = single fused XLA state-machine loop (volpath_flat.py)

@@ -132,6 +132,7 @@ class StepSpec:
     em_fw: int = 0
     adjoint: bool = False
     tgs: int = 0                    # trans_grad_samples (adjoint only)
+    shadow_rr: float = 0.0          # VolpathConfig.shadow_rr (0 = off)
     use_drt: bool = False
     use_drt_mis: bool = False
     use_drt_sub: bool = False
@@ -289,16 +290,30 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     # ---- SHADOW walk (volpath_flat.py:209-218) ---------------------------
     sh_coll = is_sh & collided
     shtr = jnp.where(sh_coll, v["shtr"] * ratio, v["shtr"])
+    if spec.shadow_rr > 0.0:
+        # RR on low-transmittance walks (VolpathConfig.shadow_rr); reuses
+        # the shadow-lane u_evt draw, q detached — same as the flat engine
+        sh_tail = sh_coll & (shtr < spec.shadow_rr) & (shtr > 0.0)
+        q_sh = shtr * jnp.float32(1.0 / spec.shadow_rr)
+        shtr = jnp.where(sh_tail,
+                         jnp.where(u_evt < q_sh,
+                                   jnp.float32(spec.shadow_rr), 0.0), shtr)
     sht = jnp.where(post & is_sh, t_next, v["sht"])
     sh_done = post & is_sh & (fin_seg | (shtr <= 0.0))
     post_main = (v["flags"] & FL_POST) != 0
     if spec.adjoint:
         # PRB: subtract the completed NEE contribution and schedule its
-        # REPLAY transmittance re-walk (volpath_flat.py:582-591)
+        # REPLAY transmittance re-walk (volpath_flat.py:582-591); walks
+        # with zero contribution (shadow-RR kills) carry no cotangent and
+        # skip the replay entirely
         res0 = v["res0"] - jnp.where(sh_done, v["shb0"] * shtr, 0.0)
         res1 = v["res1"] - jnp.where(sh_done, v["shb1"] * shtr, 0.0)
         res2 = v["res2"] - jnp.where(sh_done, v["shb2"] * shtr, 0.0)
-        mode = jnp.where(sh_done, REPLAY, mode)
+        contrib_nz = (jnp.abs(v["shb0"] * shtr) + jnp.abs(v["shb1"] * shtr)
+                      + jnp.abs(v["shb2"] * shtr)) > 0.0
+        mode = jnp.where(sh_done,
+                         jnp.where(contrib_nz, REPLAY,
+                                   jnp.where(post_main, MAIN, DONE)), mode)
     else:
         res0 = v["res0"] + jnp.where(sh_done, v["shb0"] * shtr, 0.0)
         res1 = v["res1"] + jnp.where(sh_done, v["shb1"] * shtr, 0.0)
@@ -616,6 +631,14 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
                            0.0)
         sc_sig = sc_sig + rp_cot        # same point p: fused row scatter
         rptr = jnp.where(rp_coll, rptr * ratio, rptr)
+        if spec.shadow_rr > 0.0:
+            # mirror the primal shadow-RR decision (same u_evt realization)
+            rp_tail = rp_coll & (rptr < spec.shadow_rr) & (rptr > 0.0)
+            q_rp = rptr * jnp.float32(1.0 / spec.shadow_rr)
+            rptr = jnp.where(rp_tail,
+                             jnp.where(u_evt < q_rp,
+                                       jnp.float32(spec.shadow_rr), 0.0),
+                             rptr)
         rpt = jnp.where(is_rp, t_next, rpt)
         rpdim = jnp.where(is_rp, rpdim + 2, rpdim)
         rp_fin = is_rp & (fin_seg | (rptr <= 0.0))
@@ -989,7 +1012,7 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
                     emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
-                    interpret=interpret)
+                    shadow_rr=cfg.shadow_rr, interpret=interpret)
     call = _make_call(spec)
     tables = build_tables(scene, em_nee)
     fix = _deferred_nee_fixup(ALL_PLANES, scene.emitter) if fh else None
@@ -1116,6 +1139,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
                     emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
+                    shadow_rr=cfg.shadow_rr,
                     adjoint=True, tgs=cfg.trans_grad_samples,
                     use_drt=cfg.use_drt, use_drt_mis=cfg.use_drt_mis,
                     use_drt_sub=cfg.use_drt_subsampling,
