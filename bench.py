@@ -189,6 +189,13 @@ if __name__ == "__main__":
         # axon client state is not reusable after a device error).
         eng = os.environ.get("BENCH_ENGINE", "pallas")
         if eng == "flat":
+            # Total failure (e.g. the TPU relay is unreachable): still emit
+            # a parseable record so the round log distinguishes an
+            # infrastructure outage from a missing benchmark.
+            print(json.dumps({
+                "metric": "Mrays/s/chip fwd+bwd @64spp", "value": 0.0,
+                "unit": "Mrays/s", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:300]}))
             raise
         print(f"# engine {eng!r} failed: {type(e).__name__}: {e}; "
               "retrying with engine='flat'", file=sys.stderr)
