@@ -90,7 +90,7 @@ def test_nerf_adjoint_exact_same_rays():
 
     g = adj_grads(b.params)
     fd = fd_gradients(lambda p: loss(p), b.params, eps=2e-3,
-                      keys=("sigma_t", "emission"))
+                      keys=("sigma_t", "emission"), central=True)
     for key in ("sigma_t", "emission"):
         ga = np.asarray(getattr(g, key)).ravel()
         gf = fd[key].ravel()

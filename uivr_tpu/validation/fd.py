@@ -17,12 +17,15 @@ from ..scene.medium import MediumParams
 def fd_gradients(loss_of_params: Callable[[MediumParams], float],
                  params: MediumParams, eps: float = 5e-3,
                  keys=("sigma_t", "albedo", "emission"),
-                 progress: bool = False) -> Dict[str, np.ndarray]:
-    """dloss/dgrid by forward FD for each entry of each requested grid.
+                 progress: bool = False,
+                 central: bool = False) -> Dict[str, np.ndarray]:
+    """dloss/dgrid by FD for each entry of each requested grid.
 
     ``loss_of_params`` must be deterministic given params (use a fixed seed
     inside — common random numbers).  Returns numpy arrays shaped like the
-    grids.
+    grids.  ``central=True`` uses second-order central differences
+    (2x the renders; O(eps^2) truncation instead of O(eps)) — an extension
+    over the reference's forward-only oracle for tight-threshold tests.
     """
     loss_center = float(loss_of_params(params))
     out = {}
@@ -34,7 +37,14 @@ def fd_gradients(loss_of_params: Callable[[MediumParams], float],
             v = v0.copy()
             v[idx] += eps
             p = params._replace(**{key: jnp.asarray(v)})
-            grads[idx] = (float(loss_of_params(p)) - loss_center) / eps
+            loss_hi = float(loss_of_params(p))
+            if central:
+                v = v0.copy()
+                v[idx] -= eps
+                p = params._replace(**{key: jnp.asarray(v)})
+                grads[idx] = (loss_hi - float(loss_of_params(p))) / (2 * eps)
+            else:
+                grads[idx] = (loss_hi - loss_center) / eps
             if progress:
                 print(key, idx, grads[idx])
         out[key] = grads
