@@ -71,6 +71,8 @@ def run(name, call, tab, idx, ref, reps=10):
 
 
 def main():
+    import os
+    only = os.environ.get("PROBE_VARIANT", "")
     rng = np.random.RandomState(0)
     for name, L, K, mk in [
         ("a. axis2 L=8  K=1", 8, 1, make_axis2),
@@ -79,6 +81,8 @@ def main():
         ("d. axis2 L=8  K=8", 8, 8, make_axis2),
         ("e. select-chain L=8", 8, 1, lambda L, K: make_select_chain(L)),
     ]:
+        if only and not name.startswith(only):
+            continue
         tab = jnp.asarray(rng.rand(R, 128, L), jnp.float32)
         idx = jnp.asarray(rng.randint(0, L, (R, 128, K)), jnp.int32)
         ref = np.take_along_axis(np.asarray(tab), np.asarray(idx),
