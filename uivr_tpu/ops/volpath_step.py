@@ -84,6 +84,23 @@ ALL_PLANES = F32_PLANES + I32_PLANES + PRE_PLANES
 N_STATE = len(F32_PLANES) + len(I32_PLANES)
 N_ALL = N_STATE + len(PRE_PLANES)
 
+
+def _pre_names(k_cand: int):
+    """Candidate planes.  k_cand == 1 keeps the legacy unsuffixed names (and
+    no `kind` plane — POST reclassifies); K-candidate batching adds a packed
+    per-candidate event kind from pass A (0=invalid, 1=collision, 2=segment
+    end, 3=supercell crossing beyond the unroll budget)."""
+    if k_cand == 1:
+        return PRE_PLANES
+    return tuple(f"{nm}{j}" for j in range(k_cand)
+                 for nm in ("px", "py", "pz", "tcand", "texit", "smaj",
+                            "uevt", "kind"))
+
+
+def _state_names(spec: "StepSpec"):
+    return (F32_PLANES + I32_PLANES + _pre_names(spec.k_cand)
+            + (ADJ_PLANES if spec.adjoint else ()))
+
 # Adjoint-only carried planes (volpath_flat._FlatAdjCarry as SoA planes;
 # the DRT reservoir is inlined, `rvact` holds its active bit).
 ADJ_F32 = ("rpt", "rptr", "sha0", "sha1", "sha2", "adj0", "adj1", "adj2",
@@ -144,11 +161,21 @@ class StepSpec:
     # engine would, so the realization is unchanged.
     # Overridable for bisection/tuning via UIVR_CROSS_STEPS (1 disables).
     cross_steps: int = int(os.environ.get("UIVR_CROSS_STEPS", 4))
+    # K-candidate event batching (PLAN.md): pass A (PRE) emits up to k_cand
+    # candidate collision events per dispatch by walking the majorant field
+    # null-assumed (valid: null events change nothing about the walk); the
+    # XLA side does ONE (k_cand*n)-row sigma gather; POST resolves the
+    # candidates in order, discarding those past the first terminal event
+    # (real scatter / segment end / RR kill).  Unbiased: the discarded TEA
+    # draws are consumed deterministically and never used.  Primal only.
+    k_cand: int = 1
     interpret: bool = False
 
     @property
     def n_planes(self) -> int:
-        return N_ADJ if self.adjoint else N_ALL
+        if self.adjoint:
+            return N_ADJ
+        return N_STATE + len(_pre_names(self.k_cand))
 
     @property
     def n_chunks(self) -> int:
@@ -220,9 +247,11 @@ def _chunk_shuffle(ref, idx, base: int = 0, n_chunks: int = None):
     return out
 
 
-def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
-                 a1_ref, a2_ref, *refs):
-    planes = ALL_PLANES + (ADJ_PLANES if spec.adjoint else ())
+def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
+    KC = spec.k_cand
+    sig_refs = refs[:4 * KC]
+    refs = refs[4 * KC:]
+    planes = _state_names(spec)
     out_names = planes + (_scatter_outs(spec.tgs) if spec.adjoint else ())
     np_ = spec.n_planes
     v = {k: r[...] for k, r in zip(planes, refs[:np_])}
@@ -271,13 +300,83 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     if spec.adjoint:
         wt = jnp.where(is_rp, v["rpt"], wt)
 
-    t_cand, t_exit = v["tcand"], v["texit"]
-    sigma_maj, u_evt = v["smaj"], v["uevt"]
-    sig = sig_ref[...]
-    alb0, alb1, alb2 = a0_ref[...], a1_ref[...], a2_ref[...]
-    px, py, pz = v["px"], v["py"], v["pz"]
-
     post = jnp.broadcast_to(do_post, mode.shape)
+    if KC == 1:
+        t_cand, t_exit = v["tcand"], v["texit"]
+        sigma_maj, u_evt = v["smaj"], v["uevt"]
+        sig = sig_refs[0][...]
+        alb0 = sig_refs[1][...]
+        alb1 = sig_refs[2][...]
+        alb2 = sig_refs[3][...]
+        px, py, pz = v["px"], v["py"], v["pz"]
+        shtr_in = v["shtr"]
+    else:
+        # ---- phase 0: resolve the K-candidate batch to ONE presented event.
+        # MAIN null collisions are no-ops (t advance only) and SHADOW null
+        # collisions only multiply the transmittance, so the batch reduces
+        # to: apply intermediate shadow multiplies (+ shadow RR) here, then
+        # present the TERMINAL candidate (first real scatter / segment end /
+        # crossing / RR kill — else the last null) to the unchanged
+        # single-event code below.  Candidates past the terminal are
+        # discarded (their TEA draws were consumed deterministically in
+        # pass A and never used — unbiased).
+        alive_m = post & is_main
+        alive_s = post & is_sh
+        shtr_run = v["shtr"]
+        z0 = jnp.zeros_like(v["t"])
+        p_px = p_py = p_pz = p_tc = p_tx = p_sm = p_ue = z0
+        p_sig = p_a0 = p_a1 = p_a2 = z0
+        found_sel = jnp.zeros_like(is_main)
+        for j in range(KC):
+            kind_j = v[f"kind{j}"]
+            coll = kind_j == 1.0
+            term_j = (kind_j == 2.0) | (kind_j == 3.0)
+            sig_j = sig_refs[4 * j][...]
+            sm_j = v[f"smaj{j}"]
+            ue_j = v[f"uevt{j}"]
+            r_j = jnp.where(sm_j > 0.0,
+                            sig_j / jnp.maximum(sm_j, 1e-20), 0.0)
+            ratio_j = jnp.maximum(1.0 - r_j, 0.0)
+            real_j = alive_m & coll & (ue_j < r_j)
+            sc = alive_s & coll
+            shtr_new = jnp.where(sc, shtr_run * ratio_j, shtr_run)
+            if spec.shadow_rr > 0.0:
+                sh_tail = sc & (shtr_new < spec.shadow_rr) & (shtr_new > 0.0)
+                q_sh = shtr_new * jnp.float32(1.0 / spec.shadow_rr)
+                shtr_new = jnp.where(
+                    sh_tail,
+                    jnp.where(ue_j < q_sh,
+                              jnp.float32(spec.shadow_rr), 0.0),
+                    shtr_new)
+            killed_j = sc & (shtr_new <= 0.0)
+            shtr_run = shtr_new
+            take_j = (alive_m | alive_s) & (coll | term_j) & ~found_sel
+            is_term = (real_j | killed_j
+                       | ((alive_m | alive_s) & term_j))
+
+            def selp(nm, cur, _j=j, _t=take_j):
+                return jnp.where(_t, v[f"{nm}{_j}"], cur)
+
+            p_px, p_py, p_pz = (selp("px", p_px), selp("py", p_py),
+                                selp("pz", p_pz))
+            p_tc, p_tx = selp("tcand", p_tc), selp("texit", p_tx)
+            p_sm, p_ue = selp("smaj", p_sm), selp("uevt", p_ue)
+            p_sig = jnp.where(take_j, sig_j, p_sig)
+            p_a0 = jnp.where(take_j, sig_refs[4 * j + 1][...], p_a0)
+            p_a1 = jnp.where(take_j, sig_refs[4 * j + 2][...], p_a1)
+            p_a2 = jnp.where(take_j, sig_refs[4 * j + 3][...], p_a2)
+            found_sel = found_sel | (take_j & is_term)
+            alive_m = alive_m & ~(real_j | term_j)
+            alive_s = alive_s & ~(term_j | killed_j)
+        t_cand, t_exit = p_tc, p_tx
+        sigma_maj, u_evt = p_sm, p_ue
+        # shadow multiplies are pre-applied: zero sigma makes the legacy
+        # ratio multiply a no-op, and shtr_in < rr-threshold can't re-fire
+        # the RR branch (survivors sit exactly AT the threshold)
+        sig = jnp.where(is_sh, 0.0, p_sig)
+        alb0, alb1, alb2 = p_a0, p_a1, p_a2
+        px, py, pz = p_px, p_py, p_pz
+        shtr_in = shtr_run
     bound = jnp.minimum(t_exit, wmax)
     collided = post & walking & (t_cand < bound)
     fin_seg = post & walking & (~(t_cand < bound)) & (t_exit >= wmax)
@@ -289,7 +388,7 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
 
     # ---- SHADOW walk (volpath_flat.py:209-218) ---------------------------
     sh_coll = is_sh & collided
-    shtr = jnp.where(sh_coll, v["shtr"] * ratio, v["shtr"])
+    shtr = jnp.where(sh_coll, shtr_in * ratio, shtr_in)
     if spec.shadow_rr > 0.0:
         # RR on low-transmittance walks (VolpathConfig.shadow_rr); reuses
         # the shadow-lane u_evt draw, q detached — same as the flat engine
@@ -677,56 +776,76 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     # Crossing unroll (see StepSpec.cross_steps): each sub-iteration mirrors
     # exactly one flat-engine step; lanes that found a candidate (or a
     # terminal segment end) stop, crossers advance to the supercell exit.
-    found = ~n_walk
+    # With k_cand > 1 (StepSpec.k_cand) the whole unroll repeats per
+    # candidate, walking forward null-assumed: a candidate collision does
+    # not change the walk unless it turns out real, which POST resolves
+    # next dispatch.  Emission stops at a segment end / crossing budget.
+    stopped = ~n_walk
     zf = jnp.zeros_like(nwt)
-    n_smaj, n_texit, n_tcand, n_uevt = zf, zf, zf, zf
-    K = max(spec.cross_steps, 1)
-    for k in range(K):
-        last = k == K - 1
-        active = n_walk & ~found
-        eps = jnp.float32(1e-5) * (1.0 + jnp.abs(nwt))
-        te = nwt + eps
-        cx = cell_axis(ox, wdx, float(spec.Wc), te)
-        cy = cell_axis(oy, wdy, float(spec.Hc), te)
-        cz = cell_axis(oz, wdz, float(spec.Dc), te)
-        midx = ((cz.astype(jnp.int32) * spec.Hc + cy.astype(jnp.int32))
-                * spec.Wc + cx.astype(jnp.int32))
-        smaj_k = _chunk_shuffle(maj_ref, midx)
-        texit_k = jnp.maximum(jnp.minimum(
-            jnp.minimum(exit_axis(cx, float(spec.Wc), ox, wdx),
-                        exit_axis(cy, float(spec.Hc), oy, wdy)),
-            exit_axis(cz, float(spec.Dc), oz, wdz)), te)
+    cand_rec = []
+    CS = max(spec.cross_steps, 1)
+    for kc in range(KC):
+        found = stopped
+        n_smaj, n_texit, n_tcand, n_uevt = zf, zf, zf, zf
+        n_kind = zf
+        for k in range(CS):
+            last = k == CS - 1
+            active = n_walk & ~found
+            eps = jnp.float32(1e-5) * (1.0 + jnp.abs(nwt))
+            te = nwt + eps
+            cx = cell_axis(ox, wdx, float(spec.Wc), te)
+            cy = cell_axis(oy, wdy, float(spec.Hc), te)
+            cz = cell_axis(oz, wdz, float(spec.Dc), te)
+            midx = ((cz.astype(jnp.int32) * spec.Hc + cy.astype(jnp.int32))
+                    * spec.Wc + cx.astype(jnp.int32))
+            smaj_k = _chunk_shuffle(maj_ref, midx)
+            texit_k = jnp.maximum(jnp.minimum(
+                jnp.minimum(exit_axis(cx, float(spec.Wc), ox, wdx),
+                            exit_axis(cy, float(spec.Hc), oy, wdy)),
+                exit_axis(cz, float(spec.Dc), oz, wdz)), te)
 
-        if spec.adjoint:
-            consume = active & (n_main | n_sh)
-            u_step = draw(consume)
-            uevt_k = draw(consume)
-            rb1, _ = tea_i32(h, rpdim)
-            rb2, _ = tea_i32(h, rpdim + 1)
-            u_step = jnp.where(n_rp, _unit_float(rb1), u_step)
-            uevt_k = jnp.where(n_rp, _unit_float(rb2), uevt_k)
-        else:
-            consume = active
-            u_step = draw(consume)
-            uevt_k = draw(consume)
-        stp = jnp.where(smaj_k > 0.0,
-                        -jnp.log1p(-u_step) / jnp.maximum(smaj_k, 1e-20),
-                        _BIG)
-        tcand_k = nwt + stp
-        bound = jnp.minimum(texit_k, n_wmax)
-        hit = tcand_k < bound
-        cross = (~hit) & (texit_k < n_wmax)
-        stop_now = active if last else (active & ~cross)
-        n_smaj = jnp.where(stop_now, smaj_k, n_smaj)
-        n_texit = jnp.where(stop_now, texit_k, n_texit)
-        n_tcand = jnp.where(stop_now, tcand_k, n_tcand)
-        n_uevt = jnp.where(stop_now, uevt_k, n_uevt)
-        if not last:
-            adv = active & cross
-            nwt = jnp.where(adv, texit_k, nwt)
             if spec.adjoint:
-                rpdim = jnp.where(adv & n_rp, rpdim + 2, rpdim)
-        found = found | stop_now
+                consume = active & (n_main | n_sh)
+                u_step = draw(consume)
+                uevt_k = draw(consume)
+                rb1, _ = tea_i32(h, rpdim)
+                rb2, _ = tea_i32(h, rpdim + 1)
+                u_step = jnp.where(n_rp, _unit_float(rb1), u_step)
+                uevt_k = jnp.where(n_rp, _unit_float(rb2), uevt_k)
+            else:
+                consume = active
+                u_step = draw(consume)
+                uevt_k = draw(consume)
+            stp = jnp.where(smaj_k > 0.0,
+                            -jnp.log1p(-u_step) / jnp.maximum(smaj_k, 1e-20),
+                            _BIG)
+            tcand_k = nwt + stp
+            bound = jnp.minimum(texit_k, n_wmax)
+            hit = tcand_k < bound
+            cross = (~hit) & (texit_k < n_wmax)
+            stop_now = active if last else (active & ~cross)
+            n_smaj = jnp.where(stop_now, smaj_k, n_smaj)
+            n_texit = jnp.where(stop_now, texit_k, n_texit)
+            n_tcand = jnp.where(stop_now, tcand_k, n_tcand)
+            n_uevt = jnp.where(stop_now, uevt_k, n_uevt)
+            n_kind = jnp.where(
+                stop_now,
+                jnp.where(hit, 1.0, jnp.where(cross, 3.0, 2.0)), n_kind)
+            if not last:
+                adv = active & cross
+                nwt = jnp.where(adv, texit_k, nwt)
+                if spec.adjoint:
+                    rpdim = jnp.where(adv & n_rp, rpdim + 2, rpdim)
+            found = found | stop_now
+        cand_rec.append(dict(
+            px=ox + n_tcand * wdx, py=oy + n_tcand * wdy,
+            pz=oz + n_tcand * wdz, tcand=n_tcand, texit=n_texit,
+            smaj=n_smaj, uevt=n_uevt, kind=n_kind))
+        if kc < KC - 1:
+            # null-assumed continuation for emitted collisions; segment
+            # ends and unresolved crossings stop the batch for this lane
+            nwt = jnp.where((n_kind == 1.0) & ~stopped, n_tcand, nwt)
+            stopped = stopped | (n_kind >= 2.0)
 
     # commit the crossing advances to the per-walk positions so POST's
     # recomputed wt agrees with the recorded candidate
@@ -735,19 +854,22 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
     if spec.adjoint:
         rpt = jnp.where(n_rp, nwt, rpt)
 
-    n_px = ox + n_tcand * wdx
-    n_py = oy + n_tcand * wdy
-    n_pz = oz + n_tcand * wdz
-
     out_vals = dict(
         ox=ox, oy=oy, oz=oz, dlx=dlx, dly=dly, dlz=dlz,
         dwx=dwx_n, dwy=dwy_n, dwz=dwz_n, t=t, maxt=maxt,
         thr0=thr0, thr1=thr1, thr2=thr2, res0=res0, res1=res1, res2=res2,
         lpdf=lpdf, shdx=shdx, shdy=shdy, shdz=shdz, sht=sht,
         shtmax=shtmax, shtr=shtr, shb0=shb0, shb1=shb1, shb2=shb2,
-        mode=mode, depth=depth, flags=flags, h=h, dim=dim, shtex=shtex_n,
-        px=n_px, py=n_py, pz=n_pz, tcand=n_tcand, texit=n_texit,
-        smaj=n_smaj, uevt=n_uevt)
+        mode=mode, depth=depth, flags=flags, h=h, dim=dim, shtex=shtex_n)
+    if KC == 1:
+        c0 = cand_rec[0]
+        out_vals.update(px=c0["px"], py=c0["py"], pz=c0["pz"],
+                        tcand=c0["tcand"], texit=c0["texit"],
+                        smaj=c0["smaj"], uevt=c0["uevt"])
+    else:
+        for j, cj in enumerate(cand_rec):
+            for nm, val in cj.items():
+                out_vals[f"{nm}{j}"] = val
     if spec.adjoint:
         out_vals.update(
             rpt=rpt, rptr=rptr, sha0=sha0, sha1=sha1, sha2=sha2,
@@ -770,12 +892,15 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sig_ref, a0_ref,
 
 @functools.lru_cache(maxsize=64)
 def _make_call(spec: StepSpec):
+    assert not (spec.adjoint and spec.k_cand != 1), \
+        "K-candidate batching is primal-only (adjoint scatter outs are 1-K)"
     # Row-slab grid: the state (39+ planes x R x 128 f32) exceeds the
     # scoped-VMEM window budget at full wavefront width, so each grid step
     # processes an Rb-row slab while the tables stay resident (index_map
     # (0, 0)).  Window cost ~= n_buffers * Rb * 1KB * 2 (double-buffered);
     # vmem_limit_bytes raises Mosaic's default 16MB scoped budget.
-    Rb = min(spec.R, 128 if spec.adjoint else 256)
+    Rb = min(spec.R,
+             128 if (spec.adjoint or spec.k_cand > 1) else 256)
     while spec.R % Rb:
         Rb //= 2
     if Rb % 8:
@@ -797,15 +922,15 @@ def _make_call(spec: StepSpec):
         pl.BlockSpec((1, 24), fixed, memory_space=pltpu.SMEM),
         pl.BlockSpec((nc, 128), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((emr, 128), fixed, memory_space=pltpu.VMEM),
-        state, state, state, state,            # sig, albedo x3
-    ] + [state] * n_planes
+    ] + [state] * (4 * spec.k_cand) + [state] * n_planes   # sig/albedo x K
     dtypes = ([jnp.float32] * len(F32_PLANES) + [jnp.int32] * len(I32_PLANES)
-              + [jnp.float32] * len(PRE_PLANES))
+              + [jnp.float32] * len(_pre_names(spec.k_cand)))
     if spec.adjoint:
         dtypes += ([jnp.float32] * len(ADJ_F32) + [jnp.int32] * len(ADJ_I32)
                    + [jnp.float32] * len(_scatter_outs(spec.tgs)))
     out_shape = [jax.ShapeDtypeStruct((spec.R, 128), dt) for dt in dtypes]
-    aliases = {7 + i: i for i in range(n_planes)}
+    n_pre_in = 3 + 4 * spec.k_cand
+    aliases = {n_pre_in + i: i for i in range(n_planes)}
     return pl.pallas_call(
         functools.partial(_step_kernel, spec),
         out_shape=out_shape,
@@ -828,7 +953,7 @@ class PlanesCarry(NamedTuple):
         return self.planes[N_STATE - len(I32_PLANES)]
 
 
-def pack_carry(c: _FlatCarry, R: int) -> PlanesCarry:
+def pack_carry(c: _FlatCarry, R: int, k_cand: int = 1) -> PlanesCarry:
     def p(x):
         return x.reshape(R, 128)
 
@@ -851,12 +976,12 @@ def pack_carry(c: _FlatCarry, R: int) -> PlanesCarry:
         p(flags).astype(jnp.int32),
         p(c.smp.h).view(jnp.int32), p(c.smp.dim).view(jnp.int32),
         jnp.full((R, 128), -1, jnp.int32),      # shtex: no pending NEE
-        z, z, z, z, z, z, z)
+        ) + (z,) * len(_pre_names(k_cand))
     return PlanesCarry(planes=planes, it=c.it)
 
 
-def unpack_carry(pc: PlanesCarry, n: int) -> _FlatCarry:
-    d = dict(zip(ALL_PLANES, pc.planes))
+def unpack_carry(pc: PlanesCarry, n: int, k_cand: int = 1) -> _FlatCarry:
+    d = dict(zip(F32_PLANES + I32_PLANES + _pre_names(k_cand), pc.planes))
 
     def u(k):
         return d[k].reshape(n)
@@ -1004,7 +1129,8 @@ def _deferred_nee_fixup(names, emitter):
     return fix
 
 
-def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
+def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
+               k_cand: int = 1):
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
     ek, He, We, fh, fw, em_nee = _em_dims(scene)
@@ -1012,21 +1138,34 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
                     emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
-                    shadow_rr=cfg.shadow_rr, interpret=interpret)
+                    shadow_rr=cfg.shadow_rr, k_cand=k_cand,
+                    interpret=interpret)
     call = _make_call(spec)
     tables = build_tables(scene, em_nee)
-    fix = _deferred_nee_fixup(ALL_PLANES, scene.emitter) if fh else None
+    names = F32_PLANES + I32_PLANES + _pre_names(k_cand)
+    fix = _deferred_nee_fixup(names, scene.emitter) if fh else None
 
     def step(pc: PlanesCarry, do_post: bool) -> PlanesCarry:
-        d = dict(zip(ALL_PLANES, pc.planes))
+        d = dict(zip(names, pc.planes))
         if do_post:
-            sig, a0, a1, a2 = _sigma_albedo_planes(m, d["px"], d["py"],
-                                                   d["pz"])
+            if k_cand == 1:
+                sig_alb = _sigma_albedo_planes(m, d["px"], d["py"], d["pz"])
+            else:
+                # ONE (k_cand*R)-row gather for all candidates — the whole
+                # point of the batching (per-row cost amortizes with width)
+                px = jnp.concatenate([d[f"px{j}"] for j in range(k_cand)])
+                py = jnp.concatenate([d[f"py{j}"] for j in range(k_cand)])
+                pz = jnp.concatenate([d[f"pz{j}"] for j in range(k_cand)])
+                sg, b0, b1, b2 = _sigma_albedo_planes(m, px, py, pz)
+                sig_alb = []
+                for j in range(k_cand):
+                    sl = slice(j * R, (j + 1) * R)
+                    sig_alb += [sg[sl], b0[sl], b1[sl], b2[sl]]
         else:
-            sig = jnp.zeros((R, 128), jnp.float32)
-            a0 = a1 = a2 = sig
+            z = jnp.zeros((R, 128), jnp.float32)
+            sig_alb = [z] * (4 * k_cand)
         scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
-        planes = tuple(call(scal, tables.maj, tables.em, sig, a0, a1, a2,
+        planes = tuple(call(scal, tables.maj, tables.em, *sig_alb,
                             *pc.planes))
         if fix is not None and do_post:
             planes = fix(planes)
@@ -1037,14 +1176,21 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
 
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          schedule=(96, None, None), path_state=None,
-                         interpret: bool = None, return_state: bool = False):
+                         interpret: bool = None, return_state: bool = False,
+                         k_cand: int = None):
     """Drop-in for volpath_flat.sample_primal_compact on supported scenes
-    (same estimator, same TEA draw sequence; Pallas fused step kernel).
+    (same estimator; Pallas fused step kernel).  With ``k_cand == 1``
+    (default) the TEA draw sequence is bit-identical to the XLA flat
+    engine; ``k_cand > 1`` batches K candidate events per dispatch (PLAN.md
+    K-candidate batching) — same estimator, different deterministic draw
+    schedule, statistically identical and unbiased.
     ``interpret=None``: compile on TPU, interpret elsewhere (CPU tests)."""
     if interpret is None:
         # compile for real TPU backends (incl. the axon relay plugin);
         # interpret elsewhere (CPU test backend)
         interpret = jax.default_backend() == "cpu"
+    if k_cand is None:
+        k_cand = int(os.environ.get("UIVR_KCAND", 1))
     n_req = (o if path_state is None else path_state.o_l).shape[0]
     if path_state is None:
         o, d, n = _pad_rays(o, d, n_req)
@@ -1055,10 +1201,10 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
 
     smp = make_lane_sampler(seed, n_lanes=n)
     full = _init_carry(scene, o, d, smp, path_state)
-    pc = pack_carry(full, R)
+    pc = pack_carry(full, R, k_cand)
 
-    steps = {n: _make_step(cfg, scene, R, interpret)}
-    pc = steps[n](pc, do_post=False)        # prime the first candidate
+    steps = {n: _make_step(cfg, scene, R, interpret, k_cand)}
+    pc = steps[n](pc, do_post=False)        # prime the first candidates
 
     def active_of(c: PlanesCarry):
         # flat (n,): _run_rounds argsorts this for compaction
@@ -1079,15 +1225,22 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
         for i, st in enumerate(schedule[1:]):
             sched.append(st if st is not None else
                          defaults[i] if i < len(defaults) else (n, None))
+        if k_cand > 1:
+            # each dispatch covers ~k_cand events: compact correspondingly
+            # earlier (stage iteration counts are in dispatches)
+            sched = [max(1, sched[0] // k_cand)] + [
+                (sz, it if it is None else max(1, it // k_cand))
+                for sz, it in sched[1:]]
         for sz, _ in sched[1:]:
             if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
-                steps[sz] = _make_step(cfg, scene, sz // 128, interpret)
+                steps[sz] = _make_step(cfg, scene, sz // 128, interpret,
+                                       k_cand)
         sched = [sched[0]] + [(sz if sz in steps else n, it)
                               for sz, it in sched[1:]]
         pc = _run_rounds(step_dispatch, _planes_take, _planes_put,
                          active_of, pc, sched, n, max_iters=cfg.max_steps)
 
-    carry = unpack_carry(pc, n)
+    carry = unpack_carry(pc, n, k_cand)
     L = _finish(cfg, scene, carry, nee_emitter=_em_dims(scene)[5])[:n_req]
     if return_state:
         return L, carry.escaped[:n_req], pc
