@@ -391,3 +391,41 @@ def test_kernel_shadow_rr_matches_flat(smoke):
         assert np.isfinite(b).all()
         rel = np.abs(a - b).sum() / max(np.abs(a).sum(), 1e-12)
         assert rel < 0.05, rel
+
+
+# ---------------------------------------------------------------------------
+# K-candidate event batching (StepSpec.k_cand / UIVR_KCAND): same estimator,
+# different deterministic TEA draw schedule — realization-invariant under
+# compaction, statistically identical to k_cand=1.
+# ---------------------------------------------------------------------------
+
+def test_kernel_kcand_compaction_exact(smoke):
+    """With k_cand=4, compaction stages must not change the realization."""
+    sc, o, d = smoke
+    o, d = o[:1024], d[:1024]
+    cfg = VolpathConfig(max_depth=8, rr_depth=5, shadow_rr=0.05)
+    seed = jnp.uint32(11)
+    La, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True, k_cand=4)
+    Lb, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed,
+                                    schedule=(4, (512, 8), (256, None)),
+                                    interpret=True, k_cand=4)
+    np.testing.assert_array_equal(np.asarray(La), np.asarray(Lb))
+
+
+def test_kernel_kcand_mean_matches(smoke):
+    """k_cand=4 vs k_cand=1: independent draw schedules, so only the MEANS
+    agree (within MC noise at 2x1024 lanes)."""
+    sc, o, d = smoke
+    o, d = o[:1024], d[:1024]
+    cfg = VolpathConfig(max_depth=8, rr_depth=5, shadow_rr=0.05)
+    acc = {1: [], 4: []}
+    for seed in (3, 7):
+        for kc in (1, 4):
+            L, _ = vk.sample_primal_pallas(cfg, sc, o, d, jnp.uint32(seed),
+                                           schedule=None, interpret=True,
+                                           k_cand=kc)
+            acc[kc].append(np.asarray(L))
+    m1 = np.concatenate(acc[1]).mean(0)
+    m4 = np.concatenate(acc[4]).mean(0)
+    np.testing.assert_allclose(m4, m1, rtol=0.1, atol=2e-3)

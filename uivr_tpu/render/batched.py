@@ -103,14 +103,18 @@ def _resolve_engine(cfg, scene, n: int) -> str:
     return e
 
 
-def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, seed):
+def _dispatch_primal(cfg: IntegratorConfig, scene, o, d, seed, k_cand=None):
+    """``k_cand``: None = UIVR_KCAND env default (forward pass); the PRB
+    backward's detached replay MUST pass 1 so its realization matches the
+    k_cand=1 adjoint walk (K-batching consumes extra discarded TEA draws,
+    so k>1 and k=1 walks sample different — equally valid — paths)."""
     if isinstance(cfg, NerfConfig):
         return nerf_mod.sample_primal(cfg, scene, o, d,
                                       make_sampler(seed, n_lanes=o.shape[0]))[:2]
     engine = _resolve_engine(cfg, scene, o.shape[0])
     if engine == "pallas":
         from ..ops import volpath_step as vk
-        return vk.sample_primal_pallas(cfg, scene, o, d, seed)
+        return vk.sample_primal_pallas(cfg, scene, o, d, seed, k_cand=k_cand)
     if engine == "flat":
         return vflat_mod.sample_primal_compact(cfg, scene, o, d, seed)
     L, valid, _ = vps_mod.sample_primal(
@@ -189,8 +193,11 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         # (1) detached primal replay, (2) adjoint pass — same stream; the
         # replay engine matches the adjoint engine (PRB replays the same
         # realized paths: pallas primal + pallas adjoint share bit-identical
-        # TEA sequences and arithmetic, likewise flat + flat)
-        L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_grad)
+        # TEA sequences and arithmetic, likewise flat + flat).  k_cand is
+        # pinned to 1: the adjoint walk is k_cand=1, and a K-batched replay
+        # would realize different paths (see _dispatch_primal).
+        L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_grad,
+                                k_cand=1)
         grads = _dispatch_adjoint(st.integrator, scene, o, d, seed_grad,
                                   dL, L)
 
