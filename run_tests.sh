@@ -2,7 +2,37 @@
 # Test runner: CPU backend with an 8-device virtual mesh, axon TPU plugin
 # registration disabled (sitecustomize dials the TPU relay in EVERY python
 # process otherwise — slow and deadlock-prone under concurrency).
+#
+# Default mode runs each test FILE in its own pytest process: a monolithic
+# process accumulates enough XLA CPU compilation/runtime state to segfault
+# before the end of the suite (reproduced twice in round 1/2: different
+# tests, same signature — SIGSEGV inside XLA CPU execution after many
+# interpret-mode pallas programs), while every test passes in isolation.
+# If a file's process still dies on a signal (exit >= 128), it is re-run
+# one TEST per process, so one bad interaction can't fail the gate.
+# Passing explicit args falls back to a single process
+# (e.g. ./run_tests.sh tests/test_core.py -k tea).
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
 export XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}"
-exec python -m pytest "${@:-tests/}" -q
+
+if [ "$#" -gt 0 ]; then
+    exec python -m pytest "$@" -q
+fi
+
+rc=0
+for f in tests/test_*.py; do
+    echo "== $f"
+    python -m pytest "$f" -q
+    frc=$?
+    if [ "$frc" -ge 128 ]; then
+        echo "== $f crashed (exit $frc); re-running one test per process"
+        while IFS= read -r tid; do
+            python -m pytest "$tid" -q || rc=1
+        done < <(python -m pytest "$f" --collect-only -q 2>/dev/null \
+                 | grep '::')
+    elif [ "$frc" -ne 0 ]; then
+        rc=1
+    fi
+done
+exit $rc

@@ -40,6 +40,8 @@ def main():
     cfg = VolpathConfig(max_depth=32, max_steps=2048,
                         engine=os.environ.get("BENCH_ENGINE", "pallas"),
                         rr_depth=8, trans_grad_samples=2,
+                        shadow_rr=float(os.environ.get("BENCH_SHADOW_RR",
+                                                       0.05)),
                         use_drt=os.environ.get("UIVR_DRT", "1") == "1",
                         use_drt_subsampling=os.environ.get("UIVR_DRT_SUB",
                                                            "1") == "1")

@@ -1,0 +1,179 @@
+"""float64 gradient-validation mode (reference `cuda_ad_rgb_double`,
+tests/test_integrators.py:262, README.md:95).
+
+The reference validates volpath gradients under a float64 variant because
+f32 FD needs a large epsilon (curvature bias) and f32 scatter-add
+accumulation drifts.  The TPU build's equivalent: enable JAX x64 on the CPU
+backend and feed f64 params/rays — weakly-typed literals promote, so the
+same integrator code runs in double precision end to end.  These tests
+re-run the two strongest oracles at tolerances an f32 run cannot meet:
+
+- nerf same-ray adjoint vs central FD at eps=1e-5 (f32 needs eps=2e-3 and
+  rtol 2e-2; f64 holds 1e-3 with a 200x smaller epsilon)
+- volpath single-scatter quadrature oracle at atol 0.012 (tightened from
+  the f32 suite's 0.02; residual is MC variance of the adjoint estimate)
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uivr_tpu.config import cube_test_scene
+from uivr_tpu.integrators import NerfConfig, VolpathConfig
+from uivr_tpu.validation import fd_gradients
+
+
+@pytest.fixture(autouse=True)
+def x64_mode():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _f64(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def test_nerf_adjoint_same_rays_f64():
+    from uivr_tpu.core import make_sampler
+    from uivr_tpu.integrators import nerf as nerf_mod
+    from uivr_tpu.scene import Scene, finalize_medium
+    from uivr_tpu.scene.camera import sample_rays
+
+    b = cube_test_scene(resx=16, resy=16)
+    cfg = NerfConfig(queries_per_ray=32)
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    uv = jnp.asarray((np.stack([xs.ravel(), ys.ravel()], -1) + 0.5) / 16.0,
+                     jnp.float64)
+    sidx = jnp.zeros((256,), jnp.int32)
+    o, d = sample_rays(_f64(b.cameras), sidx, uv)
+    o, d = o.astype(jnp.float64), d.astype(jnp.float64)
+    N = 256
+    params64 = _f64(b.params)
+    emitter64 = _f64(b.emitter)
+
+    def scene_of(params):
+        return Scene(medium=finalize_medium(params, b.medium_cfg, b.to_world),
+                     emitter=emitter64, cameras=b.cameras)
+
+    @jax.jit
+    def loss(params):
+        L, _, _ = nerf_mod.sample_primal(cfg, scene_of(params), o, d,
+                                         make_sampler(7, n_lanes=N))
+        return jnp.mean(jnp.square(L - 0.5))
+
+    @jax.jit
+    def adj_grads(params):
+        sc = scene_of(params)
+        L, _, _ = nerf_mod.sample_primal(cfg, sc, o, d,
+                                         make_sampler(7, n_lanes=N))
+        dL = 2.0 * (L - 0.5) / (N * 3)
+        g, _ = nerf_mod.sample_adjoint(cfg, sc, o, d,
+                                       make_sampler(7, n_lanes=N), dL, L)
+        return g
+
+    g = adj_grads(params64)
+    assert np.asarray(g.sigma_t).dtype == np.float64
+    fd = fd_gradients(lambda p: loss(p), params64, eps=1e-5,
+                      keys=("sigma_t", "emission"), central=True)
+    for key in ("sigma_t", "emission"):
+        ga = np.asarray(getattr(g, key)).ravel()
+        gf = fd[key].ravel()
+        rel = np.abs(ga - gf) / np.abs(gf).max()
+        # 20x tighter than the f32 suite (0.02), with a 200x smaller eps
+        assert rel.max() < 1e-3, (key, rel.max())
+        assert np.corrcoef(ga, gf)[0, 1] > 0.9999999, key
+
+
+@pytest.mark.slow
+def test_volpath_adjoint_vs_quadrature_oracle_f64():
+    """Single-scatter quadrature oracle (see test_integrators.py) in f64:
+    the nested engine's adjoint runs in double precision, removing f32
+    scatter-add accumulation error from the comparison."""
+    from uivr_tpu.core import aabb, make_sampler
+    from uivr_tpu.integrators import volpathsimple as vps
+    from uivr_tpu.scene import (Scene, albedo_at, finalize_medium,
+                                sigma_t_at)
+    from uivr_tpu.scene.camera import sample_rays
+
+    b = cube_test_scene()
+    cfg = VolpathConfig(max_depth=2, use_nee=False, use_drt=False,
+                        engine="nested")
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4))
+    uv = (np.stack([xs.ravel(), ys.ravel()], -1) + 0.5) / 4.0 * 0.5 + 0.25
+    uv = jnp.asarray(np.tile(uv, (4096, 1)), jnp.float64)
+    sidx = jnp.zeros((uv.shape[0],), jnp.int32)
+    o, d = sample_rays(_f64(b.cameras), sidx, uv)
+    o, d = o.astype(jnp.float64), d.astype(jnp.float64)
+    N = o.shape[0]
+    params64 = _f64(b.params)
+    emitter64 = _f64(b.emitter)
+
+    sc = Scene(medium=finalize_medium(params64, b.medium_cfg, b.to_world),
+               emitter=emitter64, cameras=b.cameras)
+
+    @jax.jit
+    def run(seed):
+        dL = jnp.full((N, 3), 1.0 / (N * 3), jnp.float64)
+        L, _, _ = vps.sample_primal(cfg, sc, o, d, make_sampler(seed, n_lanes=N))
+        g, _ = vps.sample_adjoint(cfg, sc, o, d,
+                                  make_sampler(seed, n_lanes=N), dL, L)
+        return g
+
+    gs = np.stack([
+        np.concatenate([np.asarray(g.sigma_t).ravel(),
+                        np.asarray(g.albedo).ravel()])
+        for g in (run(jnp.uint32(300 + s)) for s in range(4))])
+    g_adj = gs.mean(0)
+
+    m0 = finalize_medium(params64, b.medium_cfg, b.to_world)
+    o16, d16 = o[:16], d[:16]
+    ol = aabb.transform_points(m0.world_to_local, o16)
+    dl = aabb.transform_dirs(m0.world_to_local, d16)
+    tn, tf, _ = aabb.ray_unit_cube(ol, dl)
+    K, K2, M = 192, 96, 72
+    i = np.arange(M)
+    golden = np.pi * (3 - np.sqrt(5))
+    ymd = 1 - 2 * (i + 0.5) / M
+    r = np.sqrt(1 - ymd ** 2)
+    dirs_w = np.stack([np.cos(golden * i) * r, ymd,
+                       np.sin(golden * i) * r], -1)
+    dirs_l = jnp.asarray(dirs_w) @ m0.world_to_local[:3, :3].T
+    env_mean = jnp.asarray(np.array([1.0, 0.8, 0.2]))
+
+    def oracle(params):
+        m = finalize_medium(params, b.medium_cfg, b.to_world)
+        ts = tn[:, None] + (tf - tn)[:, None] * (jnp.arange(K) + 0.5) / K
+        pts = ol[:, None, :] + ts[..., None] * dl[:, None, :]
+        sig = sigma_t_at(m, pts.reshape(-1, 3)).reshape(16, K)
+        dt = ((tf - tn) / K)[:, None]
+        tau_cum = jnp.cumsum(sig, 1) * dt - sig * dt * 0.5
+        T_in = jnp.exp(-tau_cum)
+        alb = albedo_at(m, pts.reshape(-1, 3)).reshape(16, K, 3)
+        p_flat = pts.reshape(-1, 3)
+
+        def exitT(dirl):
+            _, tf2, _ = aabb.ray_unit_cube(p_flat,
+                                           jnp.broadcast_to(dirl, p_flat.shape))
+            ts2 = tf2[:, None] * (jnp.arange(K2) + 0.5) / K2
+            q = p_flat[:, None, :] + ts2[..., None] * dirl[None, None, :]
+            s2 = sigma_t_at(m, q.reshape(-1, 3)).reshape(-1, K2)
+            return jnp.exp(-jnp.sum(s2, 1) * tf2 / K2)
+        Texit = jnp.stack([exitT(dirs_l[j]) for j in range(M)], 1)
+        Texit = Texit.mean(1).reshape(16, K)
+        T_chord = jnp.exp(-jnp.sum(sig, 1) * (tf - tn) / K)
+        Lbg = T_chord[:, None] * env_mean
+        Lss = jnp.sum((sig * T_in * Texit)[:, :, None] * alb * dt[..., None],
+                      1) * env_mean
+        return jnp.mean(Lbg + Lss)
+
+    g_or = jax.grad(oracle)(params64)
+    g_ref = np.concatenate([np.asarray(g_or.sigma_t).ravel(),
+                            np.asarray(g_or.albedo).ravel()])
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_adj / scale, g_ref / scale, atol=0.012)

@@ -400,10 +400,12 @@ def test_kernel_shadow_rr_matches_flat(smoke):
 # ---------------------------------------------------------------------------
 
 def test_kernel_kcand_compaction_exact(smoke):
-    """With k_cand=4, compaction stages must not change the realization."""
+    """With k_cand=4, compaction stages must not change the realization.
+    max_depth shrunk 8 -> 4 (interpret-mode while_loops dominate CPU test
+    time; the compaction bit-exactness property is depth-independent)."""
     sc, o, d = smoke
     o, d = o[:1024], d[:1024]
-    cfg = VolpathConfig(max_depth=8, rr_depth=5, shadow_rr=0.05)
+    cfg = VolpathConfig(max_depth=4, rr_depth=3, shadow_rr=0.05)
     seed = jnp.uint32(11)
     La, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
                                     interpret=True, k_cand=4)
@@ -415,10 +417,12 @@ def test_kernel_kcand_compaction_exact(smoke):
 
 def test_kernel_kcand_mean_matches(smoke):
     """k_cand=4 vs k_cand=1: independent draw schedules, so only the MEANS
-    agree (within MC noise at 2x1024 lanes)."""
+    agree (within MC noise at 2x1024 lanes).  max_depth shrunk 8 -> 4 for
+    interpret-mode CPU time (the schedule-equivalence property holds at any
+    depth)."""
     sc, o, d = smoke
     o, d = o[:1024], d[:1024]
-    cfg = VolpathConfig(max_depth=8, rr_depth=5, shadow_rr=0.05)
+    cfg = VolpathConfig(max_depth=4, rr_depth=3, shadow_rr=0.05)
     acc = {1: [], 4: []}
     for seed in (3, 7):
         for kc in (1, 4):

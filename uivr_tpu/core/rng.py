@@ -19,7 +19,8 @@ wavefront reproduces Dr.Jit's behavior where ``sampler.next_1d(active)``
 advances all lanes in lockstep.  ``clone`` = copy the (seed, dim) pair;
 ``fork`` = derive a fresh seed; replay = re-create the sampler with the same
 seed.  Mistakes here silently bias gradients, so this module is heavily
-tested (tests/test_rng.py).
+tested (tests/test_core.py: determinism, stream independence, fork/clone
+semantics, and the bit-exact int32 kernel port in tests/test_pallas_kernel.py).
 
 The hash is TEA (Tiny Encryption Algorithm), the same family Mitsuba uses for
 seed decorrelation (``mi.sample_tea_32``); cheap integer VPU ops only.

@@ -47,7 +47,7 @@ from ..scene.medium import albedo_at, sigma_albedo_at, sigma_t_at
 from ..scene.phase import phase_eval, phase_sample
 from ..scene.scene import Scene
 from ..tracking import drt_distance
-from .common import mis_weight, scatter_albedo, scatter_sigma
+from .common import mis_weight, scatter_sigma
 from ..scene.gradients import scatter_sigma_albedo
 from .volpathsimple import (PathState, VolpathConfig, _exit_dist, _nee_primal,
                             _reservoir_get, _reservoir_init,
@@ -701,8 +701,13 @@ def _drt_backward_flat(cfg: VolpathConfig, scene: Scene, seed, res, adjoint,
     rec_seed, _ = sample_tea_32(jnp.asarray(seed, jnp.uint32), 0x7177)
     if engine == "pallas":
         from ..ops.volpath_step import sample_primal_pallas
+        # k_cand pinned to 1: the recursive Li is an independent detached
+        # estimate (any k is unbiased), but pinning keeps the adjoint's
+        # realization independent of the UIVR_KCAND env read at trace time
+        # (render/batched.py resolves k_cand for the fwd pass explicitly)
         rec_Li, _ = sample_primal_pallas(cfg, scene, None, None, rec_seed,
-                                         schedule=(64, None), path_state=ps)
+                                         schedule=(64, None), path_state=ps,
+                                         k_cand=1)
     else:
         rec_Li, _ = sample_primal_compact(cfg, scene, None, None, rec_seed,
                                           schedule=(64, None), path_state=ps)
@@ -712,6 +717,7 @@ def _drt_backward_flat(cfg: VolpathConfig, scene: Scene, seed, res, adjoint,
     w_mis = 1.0 / (1.0 + sig * sig) if cfg.use_drt_mis else jnp.ones_like(sig)
     alb = albedo_at(m, p)
     factor = (w_mis * w_drt)[:, None] * adjoint * Li
-    acc = scatter_sigma(acc, m, p, jnp.sum(factor * alb, -1), active)
-    acc = scatter_albedo(acc, m, p, factor * sig[:, None], active)
+    # one fused row scatter (sigma + albedo cotangents share the point p)
+    acc = scatter_sigma_albedo(acc, m, p, jnp.sum(factor * alb, -1),
+                               factor * sig[:, None], active)
     return acc

@@ -24,7 +24,11 @@ bit-identical to the XLA flat engine (same draws, same consume masks), so
 both engines sample the same paths modulo float-boundary event flips;
 estimators are identical (reference volpathsimple.py:110-246 semantics).
 
-The adjoint currently runs on the XLA flat engine (volpath_flat).
+The adjoint (sample_adjoint_pallas) runs the same fused kernel with extra
+carried planes (ADJ_PLANES): the PRB cotangent algebra, DRT reservoir and
+replay bookkeeping happen in-kernel; per-step scatter-adds into the gradient
+tables are emitted as output planes and applied by the XLA wrapper in one
+fused row scatter per dispatch.
 """
 from __future__ import annotations
 
@@ -1326,13 +1330,30 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                                   z.reshape(n)], axis=-1)
 
             p_in = flat3(d_["px"], d_["py"], d_["pz"])
-            acc = scatter_sigma_albedo(
-                acc, m, p_in, sc["sc_sig"].reshape(n),
-                flat3(sc["sc_a0"], sc["sc_a1"], sc["sc_a2"]), None)
-            for k in range(spec.tgs):
-                ps = flat3(sc[f"tsx{k}"], sc[f"tsy{k}"], sc[f"tsz{k}"])
-                acc = scatter_sigma(acc, m, ps, sc[f"tc{k}"].reshape(n),
-                                    None)
+            if m.sigma_ct is not None:
+                # corner-table mode: ONE fused row scatter per dispatch —
+                # the in-scattering/replay row plus the tgs transmittance
+                # rows (zero albedo cotangent) concatenated; per-row
+                # scatter cost amortizes with total rows like gathers do
+                ps = [p_in]
+                cs = [sc["sc_sig"].reshape(n)]
+                for k in range(spec.tgs):
+                    ps.append(flat3(sc[f"tsx{k}"], sc[f"tsy{k}"],
+                                    sc[f"tsz{k}"]))
+                    cs.append(sc[f"tc{k}"].reshape(n))
+                ca = jnp.concatenate(
+                    [flat3(sc["sc_a0"], sc["sc_a1"], sc["sc_a2"]),
+                     jnp.zeros((spec.tgs * n, 3), jnp.float32)])
+                acc = scatter_sigma_albedo(acc, m, jnp.concatenate(ps),
+                                           jnp.concatenate(cs), ca, None)
+            else:
+                acc = scatter_sigma_albedo(
+                    acc, m, p_in, sc["sc_sig"].reshape(n),
+                    flat3(sc["sc_a0"], sc["sc_a1"], sc["sc_a2"]), None)
+                for k in range(spec.tgs):
+                    ps = flat3(sc[f"tsx{k}"], sc[f"tsy{k}"], sc[f"tsz{k}"])
+                    acc = scatter_sigma(acc, m, ps, sc[f"tc{k}"].reshape(n),
+                                        None)
         return AdjCarry(planes=planes, acc=acc,
                         it=c.it + (1 if do_post else 0))
     return step

@@ -26,6 +26,10 @@ def rmse(img, ref):
 
 
 def huber(img, ref, delta: float = 1.0):
+    # Bug-compat with the reference (losses.py:22-25): the branch tests the
+    # SIGNED residual `r < delta` instead of `|r| < delta`, so large negative
+    # residuals take the quadratic branch.  Reproduced deliberately so runs
+    # configured with `loss='huber'` match the reference numerically.
     r = img - ref
     loss = jnp.where(r < delta, 0.5 * jnp.square(r),
                      delta * jnp.abs(r) - 0.5 * delta)

@@ -84,6 +84,12 @@ class RenderSettings:
     film_size: Tuple[int, int]
     spp: int
     spp_grad: int
+    # K-candidate event batching for the pallas engine's FORWARD pass
+    # (ops/volpath_step.StepSpec.k_cand).  None = resolve the UIVR_KCAND
+    # env var ONCE in make_render (captured in the closed-over static
+    # config, so later env changes cannot silently desynchronize two
+    # traced renders).
+    k_cand: int = None
 
 
 def _resolve_engine(cfg, scene, n: int) -> str:
@@ -152,6 +158,10 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
     st = settings
     if medium_to_world is None:
         medium_to_world = np.eye(4, dtype=np.float32)
+    # resolve the env default ONCE (see RenderSettings.k_cand)
+    import os
+    k_cand = (st.k_cand if st.k_cand is not None
+              else int(os.environ.get("UIVR_KCAND", 1)))
 
     def _scene(params: MediumParams, emitter: Emitter, cameras: Cameras):
         return Scene(medium=finalize_medium(params, st.medium, medium_to_world),
@@ -162,7 +172,8 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         sub_seed, _ = sample_tea_32(seed, 22)
         o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
                             st.spp, sub_seed)
-        L, valid = _dispatch_primal(st.integrator, scene, o, d, seed)
+        L, valid = _dispatch_primal(st.integrator, scene, o, d, seed,
+                                    k_cand=k_cand)
         B = sensor_idx.shape[0]
         return L.reshape(B, st.spp, 3).mean(axis=1)
 

@@ -46,9 +46,10 @@ def init_accum(m: Medium, vary: jnp.ndarray = None) -> GradAccum:
     so the accumulator is 'varying' under shard_map manual sharding."""
     if _uses_ct(m):
         Tc = m.sigma_ct.shape[0]
-        acc = GradAccum(sigma=jnp.zeros((Tc, 32), jnp.float32),
-                        albedo=jnp.zeros((), jnp.float32),
-                        emission=jnp.zeros((Tc, 24), jnp.float32))
+        dt = m.params.sigma_t.dtype        # f64 under the x64 test mode
+        acc = GradAccum(sigma=jnp.zeros((Tc, 32), dt),
+                        albedo=jnp.zeros((), dt),
+                        emission=jnp.zeros((Tc, 24), dt))
     else:
         acc = GradAccum(sigma=jnp.zeros_like(m.params.sigma_t),
                         albedo=jnp.zeros_like(m.params.albedo),
