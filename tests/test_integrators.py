@@ -360,3 +360,55 @@ def test_sample_batch_pixels_deterministic_and_in_range():
     assert p[:, 0].max() < 33 and p[:, 1].max() < 17
     # all sensors get sampled
     assert len(np.unique(np.asarray(sidx))) == 7
+
+
+# ------------------------------------------------- in-step SPP splitting
+
+@pytest.mark.slow
+def test_spp_chunked_render_matches_unchunked():
+    """RenderSettings.max_rays_per_pass splits the primal/adjoint passes
+    into spp chunks with per-chunk seeds (the reference's multi-pass
+    splitting, optimize.py:24-51).  Chunked and unchunked are different
+    but identically-distributed estimators: their seed-averaged images and
+    gradients must agree within MC noise, and a single chunked step must
+    stay finite."""
+    b = cube_test_scene(resx=16, resy=16)
+    cfg = VolpathConfig(max_depth=4, use_nee=True, use_drt=False,
+                        engine="flat")
+    pixels, sidx = _grid_pixels(16, 16)
+    B = pixels.shape[0]
+
+    def build(max_rays):
+        st = RenderSettings(integrator=cfg, medium=b.medium_cfg,
+                            film_size=b.film_size, spp=16, spp_grad=16,
+                            max_rays_per_pass=max_rays)
+        return make_render(st, b.to_world)
+
+    render_u = build(1 << 30)           # single pass
+    render_c = build(B * 4)             # spp chunks of 4 (4 chunks)
+
+    def avg(render, lo):
+        imgs, grads = [], []
+        for s in range(lo, lo + 4):
+            def f(p):
+                img = render(p, b.emitter, b.cameras, sidx, pixels,
+                             jnp.uint32(2 * s), jnp.uint32(2 * s + 1))
+                return jnp.mean(img), img
+            (_, img), g = jax.value_and_grad(f, has_aux=True)(b.params)
+            imgs.append(np.asarray(img))
+            grads.append(np.asarray(g.sigma_t).ravel())
+        return np.mean(imgs, 0), np.mean(grads, 0)
+
+    img_u, g_u = avg(render_u, 100)
+    img_c, g_c = avg(render_c, 200)
+    assert np.isfinite(img_c).all() and np.isfinite(g_c).all()
+    # seed-averaged images agree within MC noise (4 seeds x 16 spp of a
+    # heavy-tailed path-traced estimator: a handful of 2-3 sigma pixels
+    # is expected; bound the bulk and the mean instead of the max)
+    diff = np.abs(img_c - img_u)
+    assert np.quantile(diff, 0.95) < 0.13, np.quantile(diff, 0.95)
+    assert abs(img_c.mean() - img_u.mean()) < 0.01
+    # gradient direction agrees (per-voxel gradients are noisy at this spp;
+    # the estimators are identically distributed, so correlation is high)
+    corr = np.corrcoef(g_u, g_c)[0, 1]
+    assert corr > 0.9, corr

@@ -5,7 +5,8 @@ Mirrors the reference's three-tier dataclass config system
 scene *assets* (.vol volumes + HDR envmaps, downloadable per README.md:116-125)
 are replaced by procedural generators with the same scale envelope
 (up to 256^3 grids, 60+ sensors, density scales 2-100); a scene registered
-with ``medium_files`` instead loads the original assets when present.
+with ``scene_xml`` instead loads the original Mitsuba XML scene + assets
+(config/xml_scene.py) when present under $UIVR_SCENE_DIR.
 """
 from __future__ import annotations
 
@@ -94,8 +95,27 @@ class ScenePreset:
         default_factory=lambda: {"albedo": 2.0})
     # warm start from a previous stage's checkpoint directory
     warm_start_from: Optional[str] = None
+    # Mitsuba XML scene (reference SceneConfig.fname + scene vars,
+    # scene_config.py:99-113): when the file exists under $UIVR_SCENE_DIR
+    # (default ./scenes), the calibrated sensor rig + real .vol/.hdr assets
+    # are loaded through config/xml_scene.py; otherwise build() falls back
+    # to the procedural stand-in `builder`.
+    scene_xml: Optional[str] = None
+    scene_vars: Dict = field(default_factory=dict)
+    start_from_value: Dict = field(default_factory=dict)
 
     def build(self) -> SceneBundle:
+        import os
+        if self.scene_xml:
+            root = os.environ.get("UIVR_SCENE_DIR", "scenes")
+            path = os.path.join(root, self.scene_xml)
+            if os.path.exists(path):
+                from .xml_scene import load_xml_scene
+                b = load_xml_scene(path, variables=self.scene_vars,
+                                   start_from_value=self.start_from_value,
+                                   max_density=self.max_density)
+                b.max_depth = self.max_depth
+                return b
         b = self.builder(**self.builder_kwargs)
         b.max_depth = self.max_depth
         b.max_density = self.max_density
@@ -129,22 +149,37 @@ add_scene_config("tiny-cube", builder=cube_test_scene,
                  builder_kwargs={"resx": 64, "resy": 64}, max_depth=16,
                  max_density=20.0)
 add_scene_config("janga-smoke", builder=smoke_scene,
+                 scene_xml='janga-smoke/janga-smoke.xml',
+                 scene_vars={'resx': 720, 'resy': 620, 'medium_filename': 'volumes/janga-smoke-264-136-136.vol', 'albedo_filename': 'volumes/albedo-noise-256-128-128.vol', 'emission_filename': 'volumes/albedo-noise-256-128-128.vol', 'envmap_filename': 'textures/gamrig_2k.hdr', 'majorant_resolution_factor': 8},
+                 start_from_value={'medium1.sigma_t.data': 0.002, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.005},
                  builder_kwargs={"res": 128, "resx": 180, "resy": 155,
                                  "n_sensors": 62, "density_scale": 20.0,
                                  "seed": 1})
 add_scene_config("dust-devil", builder=smoke_scene,
+                 scene_xml='dust-devil/dust-devil.xml',
+                 scene_vars={'resx': 620, 'resy': 720, 'medium_filename': 'volumes/embergen_dust_devil_tornado_a_50-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/kloofendal_38d_partly_cloudy_4k.exr', 'majorant_resolution_factor': 8},
+                 start_from_value={'medium1.sigma_t.data': 0.0004, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.001},
                  builder_kwargs={"res": 256, "resx": 155, "resy": 180,
                                  "n_sensors": 63, "density_scale": 100.0,
                                  "seed": 2})
 add_scene_config("astronaut-rotated", builder=smoke_scene,
+                 scene_xml='astronaut-rotated/astronaut-rotated.xml',
+                 scene_vars={'resx': 720, 'resy': 1080, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/skylit_garage_4k.exr', 'majorant_resolution_factor': 8},
+                 start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 120, "resy": 180,
                                  "n_sensors": 64, "density_scale": 2.0,
                                  "seed": 3})
 add_scene_config("rover", builder=smoke_scene,
+                 scene_xml='rover/rover.xml',
+                 scene_vars={'resx': 860, 'resy': 720, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/gamrig_2k.hdr', 'majorant_resolution_factor': 8},
+                 start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 215, "resy": 180,
                                  "n_sensors": 61, "density_scale": 2.0,
                                  "seed": 4})
 add_scene_config("tree-2", builder=smoke_scene,
+                 scene_xml='tree-2/tree-2.xml',
+                 scene_vars={'resx': 720, 'resy': 900, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/round_platform_2k.hdr', 'majorant_resolution_factor': 8},
+                 start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 144, "resy": 180,
                                  "n_sensors": 64, "density_scale": 2.0,
                                  "seed": 5})

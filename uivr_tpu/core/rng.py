@@ -139,11 +139,23 @@ def make_lane_sampler(seed, n_lanes: int = None,
     return LaneSampler(h=h0 ^ h1, dim=jnp.zeros_like(h0))
 
 
+# Per-draw TEA rounds for LaneSampler streams.  The (v0=h well-mixed,
+# v1=dim sequential) input structure passes the uniformity / serial-
+# correlation / 2D-stratification battery at 5 rounds (4 rounds leaks a
+# lag-1 correlation of 0.08 between consecutive draws); Mitsuba's own
+# sample_tea_32 default is 4 rounds on similar inputs.  Must match
+# ops/volpath_step._DRAW_ROUNDS for flat/pallas bit-parity.  NOTE: this is
+# NOT safe for the wavefront Sampler above, whose vector stage feeds
+# sequential lane ids as v0 (needs >= 8 rounds, see next_1d).
+import os as _os
+_DRAW_ROUNDS = int(_os.environ.get("UIVR_TEA_DRAW_ROUNDS", 5))
+
+
 def lane_next_1d(s: LaneSampler, consume: jnp.ndarray = None
                  ) -> Tuple[jnp.ndarray, LaneSampler]:
     """One uniform float per lane; advances counters of consuming lanes only
     (``consume`` bool mask, default all)."""
-    bits, _ = tea(s.h, s.dim, rounds=8)
+    bits, _ = tea(s.h, s.dim, rounds=_DRAW_ROUNDS)
     u = _to_unit_float(bits)
     inc = _U32(1) if consume is None else consume.astype(_U32)
     return u, s._replace(dim=(s.dim + inc).astype(_U32))

@@ -187,8 +187,11 @@ def _flat_step(cfg: VolpathConfig, scene: Scene, c: _FlatCarry,
     u_step, smp = lane_next_1d(smp, consume=consume)
     u_evt, smp = lane_next_1d(smp, consume=consume)
     if is_adj:
-        b1, _ = tea(smp.h, rp_dim, rounds=8)
-        b2, _ = tea(smp.h, rp_dim + jnp.uint32(1), rounds=8)
+        # replay re-derivation of the shadow walk's draws: must use the
+        # SAME round count as lane_next_1d (core.rng._DRAW_ROUNDS)
+        from ..core.rng import _DRAW_ROUNDS
+        b1, _ = tea(smp.h, rp_dim, rounds=_DRAW_ROUNDS)
+        b2, _ = tea(smp.h, rp_dim + jnp.uint32(1), rounds=_DRAW_ROUNDS)
         u_step = jnp.where(is_rp, _to_unit_float(b1), u_step)
         u_evt = jnp.where(is_rp, _to_unit_float(b2), u_evt)
 
@@ -547,7 +550,7 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
     zu = z1.astype(jnp.uint32)
     ac = _FlatAdjCarry(
         c=carry, alt=lane_fork(smp, 0x9E3779B9),
-        acc=init_accum(m, vary=jnp.sum(z1)),
+        acc=init_accum(m, vary=jnp.sum(z1), need_emission=False),
         rp_dim=zu, rp_t=z1, rp_tr=z1, sh_dim0=zu,
         sh_adj=carry.o_l * 0.0, dL=jnp.asarray(dL),
         res=_reservoir_init(carry.o_l * 0.0))

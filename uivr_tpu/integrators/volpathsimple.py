@@ -413,7 +413,7 @@ def sample_adjoint(cfg: VolpathConfig, scene: Scene, o: jnp.ndarray,
     zero3 = st.o_l * 0.0
     # accumulators become shard-local partials under shard_map; mark varying
     if grads is None:
-        grads = init_accum(m, vary=jnp.sum(zero3[:, 0]))
+        grads = init_accum(m, vary=jnp.sum(zero3[:, 0]), need_emission=False)
     carry = _AdjointCarry(
         st=st, escaped=escaped,
         throughput=zero3 + 1.0,

@@ -60,6 +60,14 @@ _TEA_K = [np.int32(np.uint32(k)) for k in
           (0xA341316C, 0xC8013EA4, 0xAD90777D, 0x7E95761E)]
 
 
+# Per-draw TEA rounds for the in-kernel streams; MUST match core.rng's
+# _DRAW_ROUNDS (lane_next_1d) for flat/pallas bit-parity.  5 rounds passes
+# the uniformity/serial-correlation/2D-stratification battery on the
+# (h=well-mixed, dim=sequential) input structure (scripts history, round 2);
+# 4 rounds does NOT (lag-1 corr 0.08).  Env override for timing probes only.
+_DRAW_ROUNDS = int(os.environ.get("UIVR_TEA_DRAW_ROUNDS", 5))
+
+
 def tea_i32(v0, v1, rounds: int = 8):
     """Bit-exact int32 port of core.rng.tea (verified scripts/repro4)."""
     shr = jax.lax.shift_right_logical
@@ -275,7 +283,7 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
 
     def draw(consume):
         nonlocal dim
-        bits, _ = tea_i32(h, dim)
+        bits, _ = tea_i32(h, dim, _DRAW_ROUNDS)
         dim = dim + consume.astype(jnp.int32)
         return _unit_float(bits)
 
@@ -631,7 +639,7 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
 
         def draw_alt(consume):
             nonlocal altd
-            bits, _ = tea_i32(alth, altd)
+            bits, _ = tea_i32(alth, altd, _DRAW_ROUNDS)
             altd = altd + consume.astype(jnp.int32)
             return _unit_float(bits)
 
@@ -812,8 +820,8 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
                 consume = active & (n_main | n_sh)
                 u_step = draw(consume)
                 uevt_k = draw(consume)
-                rb1, _ = tea_i32(h, rpdim)
-                rb2, _ = tea_i32(h, rpdim + 1)
+                rb1, _ = tea_i32(h, rpdim, _DRAW_ROUNDS)
+                rb2, _ = tea_i32(h, rpdim + 1, _DRAW_ROUNDS)
                 u_step = jnp.where(n_rp, _unit_float(rb1), u_step)
                 uevt_k = jnp.where(n_rp, _unit_float(rb2), uevt_k)
             else:
@@ -1178,8 +1186,14 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
     return step
 
 
+# Default compaction schedule knob: stage-0 full-width dispatch budget
+# (env-tunable for on-hardware sweeps; schedule=None still means "no
+# compaction, plain while_loop").
+_SCHED0 = int(os.environ.get("UIVR_SCHED0", 96))
+
+
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
-                         schedule=(96, None, None), path_state=None,
+                         schedule=(_SCHED0, None, None), path_state=None,
                          interpret: bool = None, return_state: bool = False,
                          k_cand: int = None):
     """Drop-in for volpath_flat.sample_primal_compact on supported scenes
@@ -1360,7 +1374,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
 
 
 def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
-                          state_in, schedule=(96, None, None),
+                          state_in, schedule=(_SCHED0, None, None),
                           interpret: bool = None, return_state: bool = False):
     """Drop-in for volpath_flat.sample_adjoint on supported scenes: Pallas
     fused step/cotangent kernel + XLA row gather and 1+tgs row scatter-adds
@@ -1403,7 +1417,8 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
         p(alt.h).view(jnp.int32), zi,        # alth, altd
         zi, zi, zi - 1, zi)                  # rpdim, shdim0, rvdepth, rvact
     ac = AdjCarry(planes=base.planes + adj_planes,
-                  acc=init_accum(m, vary=jnp.float32(0.0)), it=base.it)
+                  acc=init_accum(m, vary=jnp.float32(0.0),
+                                 need_emission=False), it=base.it)
 
     steps = {n: _make_adj_step(cfg, scene, R, interpret)}
     ac = steps[n](ac, do_post=False)

@@ -90,6 +90,14 @@ class RenderSettings:
     # config, so later env changes cannot silently desynchronize two
     # traced renders).
     k_cand: int = None
+    # In-step SPP splitting (the reference's multi-pass render splitting,
+    # optimize.py:24-51): when batch*spp exceeds this, the primal/adjoint
+    # passes scan over spp chunks with per-chunk derived seeds, so the
+    # production configuration (32768 pixels x 1024 primal spp = 33.5M
+    # lanes) fits one chip's HBM.  Per-chunk seeds make the chunked render
+    # a *different but identically-distributed* estimator than the
+    # unchunked one (exactly like the reference's per-pass seeds).
+    max_rays_per_pass: int = 4 * 1024 * 1024
 
 
 def _resolve_engine(cfg, scene, n: int) -> str:
@@ -167,15 +175,40 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         return Scene(medium=finalize_medium(params, st.medium, medium_to_world),
                      emitter=emitter, cameras=cameras)
 
+    def _spp_chunks(B: int, spp: int) -> int:
+        """Largest divisor of spp keeping B*chunk <= max_rays_per_pass."""
+        if B * spp <= st.max_rays_per_pass:
+            return spp
+        c = max(1, st.max_rays_per_pass // B)
+        while spp % c:
+            c -= 1
+        return c
+
     def _primal_image(params, emitter, cameras, sensor_idx, pixels, seed):
         scene = _scene(params, emitter, cameras)
-        sub_seed, _ = sample_tea_32(seed, 22)
-        o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
-                            st.spp, sub_seed)
-        L, valid = _dispatch_primal(st.integrator, scene, o, d, seed,
-                                    k_cand=k_cand)
         B = sensor_idx.shape[0]
-        return L.reshape(B, st.spp, 3).mean(axis=1)
+        spp_c = _spp_chunks(B, st.spp)
+        if spp_c == st.spp:
+            sub_seed, _ = sample_tea_32(seed, 22)
+            o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
+                                st.spp, sub_seed)
+            L, valid = _dispatch_primal(st.integrator, scene, o, d, seed,
+                                        k_cand=k_cand)
+            return L.reshape(B, st.spp, 3).mean(axis=1)
+
+        def body(acc, c):
+            sub_seed, _ = sample_tea_32(sample_tea_32(seed, 22)[0], 1000 + c)
+            seed_c, _ = sample_tea_32(seed, 7070 + c)
+            o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
+                                spp_c, sub_seed)
+            L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_c,
+                                    k_cand=k_cand)
+            return acc + L.reshape(B, spp_c, 3).mean(axis=1), None
+
+        n_chunks = st.spp // spp_c
+        acc, _ = jax.lax.scan(body, jnp.zeros((B, 3), jnp.float32),
+                              jnp.arange(n_chunks, dtype=jnp.uint32))
+        return acc / n_chunks
 
     @jax.custom_vjp
     def render(params, emitter, cameras, sensor_idx, pixels, seed, seed_grad):
@@ -191,26 +224,47 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
         B = sensor_idx.shape[0]
         spp_g = st.spp_grad
 
-        # Decorrelated adjoint rays through the same pixels (batched.py:69-75)
-        sub_seed, _ = sample_tea_32(seed_grad, 39)
-        o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
-                            spp_g, sub_seed)
+        def one_pass(spp_c, sub_seed, seed_c):
+            # Decorrelated adjoint rays through the same pixels
+            # (batched.py:69-75)
+            o, d = _expand_rays(cameras, sensor_idx, pixels, st.film_size,
+                                spp_c, sub_seed)
+            # per-sample adjoint radiance: develop() is the mean over spp,
+            # so the splat-differentiation step reduces to g / spp
+            # (batched.py:272-306); under chunking every sample still
+            # carries 1/spp_grad of the pixel cotangent
+            rep = jax.lax.broadcasted_iota(
+                jnp.int32, (B * spp_c, 1), 0)[:, 0] // spp_c
+            dL = g_img[rep] / spp_g
+            # (1) detached primal replay, (2) adjoint pass — same stream;
+            # the replay engine matches the adjoint engine (PRB replays the
+            # same realized paths: pallas primal + pallas adjoint share
+            # bit-identical TEA sequences and arithmetic, likewise
+            # flat + flat).  k_cand is pinned to 1: the adjoint walk is
+            # k_cand=1, and a K-batched replay would realize different
+            # paths (see _dispatch_primal).
+            L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_c,
+                                    k_cand=1)
+            return _dispatch_adjoint(st.integrator, scene, o, d, seed_c,
+                                     dL, L)
 
-        # per-sample adjoint radiance: develop() is the mean over spp, so the
-        # splat-differentiation step reduces to g / spp (batched.py:272-306)
-        rep = jax.lax.broadcasted_iota(jnp.int32, (B * spp_g, 1), 0)[:, 0] // spp_g
-        dL = g_img[rep] / spp_g
+        spp_c = _spp_chunks(B, spp_g)
+        if spp_c == spp_g:
+            sub_seed, _ = sample_tea_32(seed_grad, 39)
+            grads = one_pass(spp_g, sub_seed, seed_grad)
+        else:
+            # in-step SPP splitting (see RenderSettings.max_rays_per_pass)
+            def body(acc, c):
+                sub_seed, _ = sample_tea_32(sample_tea_32(seed_grad, 39)[0],
+                                            2000 + c)
+                seed_c, _ = sample_tea_32(seed_grad, 9090 + c)
+                g = one_pass(spp_c, sub_seed, seed_c)
+                return jax.tree_util.tree_map(jnp.add, acc, g), None
 
-        # (1) detached primal replay, (2) adjoint pass — same stream; the
-        # replay engine matches the adjoint engine (PRB replays the same
-        # realized paths: pallas primal + pallas adjoint share bit-identical
-        # TEA sequences and arithmetic, likewise flat + flat).  k_cand is
-        # pinned to 1: the adjoint walk is k_cand=1, and a K-batched replay
-        # would realize different paths (see _dispatch_primal).
-        L, _ = _dispatch_primal(st.integrator, scene, o, d, seed_grad,
-                                k_cand=1)
-        grads = _dispatch_adjoint(st.integrator, scene, o, d, seed_grad,
-                                  dL, L)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            n_chunks = spp_g // spp_c
+            grads, _ = jax.lax.scan(body, zero,
+                                    jnp.arange(n_chunks, dtype=jnp.uint32))
 
         zero_em = jax.tree_util.tree_map(jnp.zeros_like, emitter)
         zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cameras)

@@ -38,22 +38,36 @@ class GradAccum(NamedTuple):
 
 
 def _uses_ct(m: Medium) -> bool:
-    return m.sigma_ct is not None
+    # the COMBINED table is the one the row accumulator mirrors; above the
+    # per-channel corner-table limit it is the only table kept (medium.py)
+    return m.combined_ct is not None
 
 
-def init_accum(m: Medium, vary: jnp.ndarray = None) -> GradAccum:
+def _n_cells(m: Medium) -> int:
+    D, H, W, _ = m.params.sigma_t.shape
+    return max(D - 1, 1) * max(H - 1, 1) * max(W - 1, 1)
+
+
+def init_accum(m: Medium, vary: jnp.ndarray = None,
+               need_emission: bool = True) -> GradAccum:
     """Zero accumulator. ``vary``: optional input-derived scalar zero added
-    so the accumulator is 'varying' under shard_map manual sharding."""
+    so the accumulator is 'varying' under shard_map manual sharding.
+    ``need_emission=False`` (volpath adjoints, which never scatter emission
+    cotangents) skips the (Tc, 24) emission rows — 1.6 GB at 256^3."""
     if _uses_ct(m):
-        Tc = m.sigma_ct.shape[0]
+        Tc = _n_cells(m)
         dt = m.params.sigma_t.dtype        # f64 under the x64 test mode
         acc = GradAccum(sigma=jnp.zeros((Tc, 32), dt),
                         albedo=jnp.zeros((), dt),
-                        emission=jnp.zeros((Tc, 24), dt))
+                        emission=(jnp.zeros((Tc, 24), dt) if need_emission
+                                  else jnp.zeros((), dt)))
     else:
         acc = GradAccum(sigma=jnp.zeros_like(m.params.sigma_t),
                         albedo=jnp.zeros_like(m.params.albedo),
-                        emission=jnp.zeros_like(m.params.emission))
+                        emission=(jnp.zeros_like(m.params.emission)
+                                  if need_emission
+                                  else jnp.zeros((),
+                                                 m.params.emission.dtype)))
     if vary is not None:
         acc = GradAccum(*[a + vary.astype(a.dtype) for a in acc])
     return acc
@@ -68,10 +82,14 @@ def finalize_accum(acc: GradAccum, m: Medium) -> MediumParams:
         return MediumParams(
             sigma_t=fold_corner_table(sig_t, m.params.sigma_t.shape),
             albedo=fold_corner_table(alb_t, m.params.albedo.shape),
-            emission=fold_corner_table(acc.emission, m.params.emission.shape),
+            emission=(fold_corner_table(acc.emission,
+                                        m.params.emission.shape)
+                      if acc.emission.ndim else
+                      jnp.zeros_like(m.params.emission)),
         )
     return MediumParams(sigma_t=acc.sigma, albedo=acc.albedo,
-                        emission=acc.emission)
+                        emission=(acc.emission if acc.emission.ndim else
+                                  jnp.zeros_like(m.params.emission)))
 
 
 def _ct_row(shape, p, w_mask):

@@ -43,9 +43,16 @@ class MediumConfig:
     emission_scaled: bool = True    # emission = scale * grid (branch behavior)
     phase_g: float = 0.0            # HG anisotropy; 0 = isotropic
     # Corner tables trade 8x grid memory for ~3x faster lookups on TPU
-    # (gather cost is per-row); auto-disabled above this voxel count.
+    # (gather cost is per-row).  Above `corner_table_max_voxels` the
+    # per-channel tables (sigma/albedo/emission — 8x + 3*8x + 3*8x grid
+    # memory) are dropped, but the COMBINED sigma+albedo table that the
+    # fused tracking loop row-gathers is kept up to
+    # `combined_ct_max_voxels` (2.1 GB at 256^3 — fits v5e HBM next to the
+    # row-accumulator), so production-scale media (dust-devil 256^3,
+    # reference scene_config.py:108,158) stay on the fast path.
     corner_tables: bool = True
     corner_table_max_voxels: int = 160 ** 3
+    combined_ct_max_voxels: int = 260 ** 3
 
 
 class Medium(NamedTuple):
@@ -102,8 +109,11 @@ def finalize_medium(params: MediumParams, cfg: MediumConfig,
     maj = maj * jnp.float32(cfg.scale)
 
     D, H, W, _ = params.sigma_t.shape
+    n_vox = D * H * W
     use_ct = (cfg.corner_tables and min(D, H, W) > 1
-              and D * H * W <= cfg.corner_table_max_voxels)
+              and n_vox <= cfg.corner_table_max_voxels)
+    use_combined = (cfg.corner_tables and min(D, H, W) > 1
+                    and n_vox <= cfg.combined_ct_max_voxels)
     return Medium(
         params=params,
         scale=jnp.float32(cfg.scale),
@@ -116,7 +126,7 @@ def finalize_medium(params: MediumParams, cfg: MediumConfig,
         emission_ct=build_corner_table(params.emission) if use_ct else None,
         combined_ct=build_corner_table(
             jnp.concatenate([params.sigma_t, params.albedo], axis=-1))
-        if use_ct else None,
+        if use_combined else None,
     )
 
 
