@@ -117,9 +117,16 @@ def main():
     from uivr_tpu.opt import adam_init, adam_step, enforce_valid_params, losses
     from uivr_tpu.render import RenderSettings, make_render, sample_batch_pixels
 
-    spp_grad = int(os.environ.get("BENCH_SPP_GRAD", 4))
+    parity = os.environ.get("BENCH_PARITY", "0") == "1"
+    # BENCH_PARITY=1 benches the REFERENCE's production estimator settings
+    # (reproduce.py:45-59, opt_config.py:106): RR disabled, max_depth 64,
+    # spp_grad 16, trans_grad_samples 4 — report alongside the tuned
+    # configuration (VERDICT r1 item 2).
+    spp_grad = int(os.environ.get("BENCH_SPP_GRAD", 16 if parity else 4))
     spp = 64                         # primal spp (reference production: 64)
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    # batch 16384: bwd wavefronts 4x wider -> per-row gather/scatter cost
+    # amortizes (measured 0.54 -> 0.75 Mrays/s vs batch 4096 at iters=10)
+    batch = int(os.environ.get("BENCH_BATCH", 16384))
     res = int(os.environ.get("BENCH_GRID", 64))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
@@ -149,12 +156,15 @@ def main():
     # shadow_rr=0.05 from the measured sweep (PLAN.md): on this scene it
     # cuts mean tracking work 25%, p99 37%, and uncompacted wavefront
     # iterations 50%, with the estimate unchanged (unbiased RR).
-    cfg = VolpathConfig(max_depth=32, max_steps=2048,
+    max_depth = 64 if parity else 32
+    cfg = VolpathConfig(max_depth=max_depth, max_steps=2048,
                         engine=os.environ.get("BENCH_ENGINE", "pallas"),
-                        rr_depth=int(os.environ.get("BENCH_RR_DEPTH", 8)),
-                        shadow_rr=float(os.environ.get("BENCH_SHADOW_RR",
-                                                       0.05)),
-                        trans_grad_samples=2)
+                        rr_depth=(max_depth + 1000 if parity else
+                                  int(os.environ.get("BENCH_RR_DEPTH", 8))),
+                        shadow_rr=(0.0 if parity else
+                                   float(os.environ.get("BENCH_SHADOW_RR",
+                                                        0.05))),
+                        trans_grad_samples=4 if parity else 2)
     settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
                               film_size=bundle.film_size, spp=spp,
                               spp_grad=spp_grad)
@@ -264,8 +274,11 @@ def main():
     rays_per_iter = batch * (spp + 2 * spp_grad)
     mrays = rays_per_iter * iters / dt / 1e6
     per_chip = mrays / n_dev
+    metric = "Mrays/s/chip fwd+bwd @64spp"
+    if parity:
+        metric += " (reference-parity estimator config)"
     print(json.dumps({
-        "metric": "Mrays/s/chip fwd+bwd @64spp",
+        "metric": metric,
         "value": round(per_chip, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(per_chip / 62.5, 4),

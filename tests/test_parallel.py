@@ -81,3 +81,59 @@ def test_sharded_loss_matches_single_device_statistically(setup):
     l_shard, g = jax.jit(vag)(params, em, cams, s_idx, pix, ref_s,
                               jnp.uint32(9), jnp.uint32(10))
     assert abs(float(l_shard) - l_single) / max(l_single, 1e-9) < 0.05
+
+
+def test_sharded_pallas_engine_interpret():
+    """The Pallas fused-step engine composed under shard_map (VERDICT r1
+    item 8): engine='pallas' in interpret mode on the virtual mesh, so the
+    pallas_call + shard_map composition is validated before hardware sees
+    it.  Grads must be finite and statistically consistent with the flat
+    engine under the same sharding."""
+    from uivr_tpu.ops import volpath_step as vk
+    from uivr_tpu.scene import Scene, finalize_medium
+
+    bundle = smoke_scene(res=16, resx=32, resy=32, n_sensors=4)
+    mesh = make_mesh(8)
+    batch = 4096        # 512 pixels/shard x 2 spp = 1024 rays >= pallas gate
+    scene = Scene(medium=finalize_medium(bundle.params, bundle.medium_cfg,
+                                         bundle.to_world),
+                  emitter=bundle.emitter, cameras=bundle.cameras)
+    assert vk.pallas_supported(scene, batch // 8 * 2), \
+        "per-shard wavefront must clear the pallas gate or the test is vacuous"
+    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(3), 4,
+                                             bundle.film_size, batch)
+    ref = jnp.full((batch, 3), 0.25)
+
+    outs = {}
+    for engine in ("pallas", "flat"):
+        cfg = VolpathConfig(max_depth=4, max_steps=256, engine=engine)
+        settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
+                                  film_size=bundle.film_size, spp=2,
+                                  spp_grad=2)
+        render = make_render(settings, bundle.to_world)
+        vag = sharded_loss_and_grad(mesh, render, losses.l1)
+        params = replicate(mesh, bundle.params)
+        em = replicate(mesh, bundle.emitter)
+        cams = replicate(mesh, bundle.cameras)
+        si, pix, rf = shard_batch(mesh, (sensor_idx, pixels, ref))
+        l, g = jax.jit(vag)(params, em, cams, si, pix, rf,
+                            jnp.uint32(5), jnp.uint32(6))
+        assert np.isfinite(float(l))
+        for x in g:
+            assert np.isfinite(np.asarray(x)).all()
+        outs[engine] = (float(l), g)
+
+    # same TEA streams on both engines -> same realized paths modulo
+    # float-boundary flips: losses track closely even at 2 spp
+    lp, lf = outs["pallas"][0], outs["flat"][0]
+    assert abs(lp - lf) / max(abs(lf), 1e-9) < 0.05, (lp, lf)
+    gp, gf = outs["pallas"][1], outs["flat"][1]
+    num = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+              for a, b in zip(gp, gf))
+    den = sum(float(np.abs(np.asarray(b)).sum()) for b in gf)
+    # 0.25: at 2 spp the DRT reservoir term dominates gradient variance,
+    # and its recursive detached Li realizes different paths per engine
+    # (the tight engine-parity gradient checks live in
+    # tests/test_pallas_kernel.py at schedule=None); this test pins the
+    # shard_map composition, finiteness, and same-ballpark gradients
+    assert num / max(den, 1e-12) < 0.25, num / den

@@ -1188,8 +1188,9 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
 
 # Default compaction schedule knob: stage-0 full-width dispatch budget
 # (env-tunable for on-hardware sweeps; schedule=None still means "no
-# compaction, plain while_loop").
-_SCHED0 = int(os.environ.get("UIVR_SCHED0", 96))
+# compaction, plain while_loop").  48 measured +5.6% over 96 on the bench
+# scene at batch 16384 (earlier compaction of the post-mean-event tail).
+_SCHED0 = int(os.environ.get("UIVR_SCHED0", 48))
 
 
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
