@@ -34,6 +34,7 @@ from ..core.rng import sample_tea_32
 from ..render.batched import (RenderSettings, make_render, render_image,
                               sample_batch_pixels)
 from ..scene.medium import MediumParams
+from ..utils.cache import gallery
 from . import losses as losses_mod
 from .checkpoint import load_state, save_state
 from .optimizer import adam_init, adam_step, reset_state_like, sgd_step
@@ -200,6 +201,13 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
             metrics_f.write(json.dumps(
                 {"preview": tag, "sensor": s, "psnr": round(psnr, 3)}) + "\n")
             metrics_f.flush()
+        # grid-slice montage of the current sigma_t (reference util.gallery,
+        # util.py:44-52): 9 evenly-spaced z-slices tiled 3x3
+        sig = np.asarray(params.sigma_t)[..., :1]
+        D = sig.shape[0]
+        sl = sig[np.linspace(0, D - 1, 9).astype(int)]
+        exr_io.write_exr(join(output_dir, f"opt_{tag}_sigma_gallery.exr"),
+                         gallery(np.repeat(sl, 3, axis=-1), ncols=3))
 
     if opt.checkpoint_initial:
         save_checkpoint(join(output_dir, "params"), params, "initial")
