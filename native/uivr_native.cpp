@@ -74,6 +74,63 @@ void exr_zip_unpredict(const uint8_t* src, int64_t n, uint8_t* dst) {
 }
 
 // ---------------------------------------------------------------------------
+// Radiance RGBE (.hdr) scanline decode (core/hdr_io.py hot path: the
+// paper's 2k-4k envmaps are ~8M pixels; the per-byte RLE loop belongs in
+// native code like Mitsuba's Bitmap).  Decodes ALL scanlines (new-style
+// per-component RLE or flat/old-style runs) into H*W*4 RGBE bytes.
+// Returns 0 on success, -1 on malformed input (caller falls back to the
+// Python reader for a precise error).
+// ---------------------------------------------------------------------------
+int hdr_decode_scanlines(const uint8_t* src, int64_t n, int64_t W, int64_t H,
+                         uint8_t* out /* H*W*4 */) {
+  int64_t i = 0;
+  for (int64_t y = 0; y < H; ++y) {
+    uint8_t* row = out + y * W * 4;
+    if (W >= 8 && W < 32768 && i + 4 <= n && src[i] == 2 && src[i + 1] == 2 &&
+        ((int64_t)src[i + 2] << 8 | src[i + 3]) == W) {
+      i += 4;  // new-style RLE: 4 component planes
+      for (int c = 0; c < 4; ++c) {
+        int64_t x = 0;
+        while (x < W) {
+          if (i >= n) return -1;
+          int64_t cnt = src[i];
+          if (cnt > 128) {  // run
+            cnt -= 128;
+            if (i + 1 >= n || x + cnt > W) return -1;
+            uint8_t v = src[i + 1];
+            for (int64_t k = 0; k < cnt; ++k) row[(x + k) * 4 + c] = v;
+            i += 2;
+          } else {  // literal
+            if (i + 1 + cnt > n || x + cnt > W) return -1;
+            for (int64_t k = 0; k < cnt; ++k)
+              row[(x + k) * 4 + c] = src[i + 1 + k];
+            i += 1 + cnt;
+          }
+          x += cnt;
+        }
+      }
+    } else {  // flat pixels with old-style (1,1,1,n) run markers
+      int64_t x = 0;
+      while (x < W) {
+        if (i + 4 > n) return -1;
+        if (src[i] == 1 && src[i + 1] == 1 && src[i + 2] == 1 && x > 0) {
+          int64_t cnt = src[i + 3];
+          if (x + cnt > W) return -1;
+          for (int64_t k = 0; k < cnt; ++k)
+            std::memcpy(row + (x + k) * 4, row + (x - 1) * 4, 4);
+          x += cnt;
+        } else {
+          std::memcpy(row + x * 4, src + i, 4);
+          x += 1;
+        }
+        i += 4;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Mitsuba .vol payload transpose helpers (x-fastest <-> channel packing) and
 // a fused min/max scan used when validating imported grids.
 // ---------------------------------------------------------------------------

@@ -105,3 +105,40 @@ def test_registry_and_cli_presets():
     assert cfgq.engine == "nested" and not cfgq.use_drt_subsampling
     scene = get_scene_config("tiny-cube").build()
     assert scene.max_depth == 16
+
+
+def test_native_hdr_decode_matches_python(tmp_path):
+    """native/uivr_native.cpp hdr_decode_scanlines vs the pure-Python RGBE
+    reader: bitwise-equal on flat and new-style-RLE files."""
+    import uivr_tpu.native as nat
+    from uivr_tpu.core import hdr_io
+
+    rs = np.random.RandomState(5)
+    img = (rs.rand(33, 64, 3).astype(np.float32) * 4) ** 2
+    p_flat = str(tmp_path / "flat.hdr")
+    hdr_io.write_hdr(p_flat, img)
+
+    W, H = 64, 2
+    head = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y {H} +X {W}\n".encode())
+    body = b""
+    for _y in range(H):
+        sl = bytes([2, 2, W >> 8, W & 255])
+        for c, v in enumerate([128, 64, 32, 140]):
+            sl += (bytes([128 + 32, v]) + bytes([16])
+                   + bytes(range(c, c + 16)) + bytes([128 + 16, v + 1]))
+        body += sl
+    p_rle = str(tmp_path / "rle.hdr")
+    with open(p_rle, "wb") as f:
+        f.write(head + body)
+
+    for p in (p_flat, p_rle):
+        a = hdr_io.read_hdr(p)
+        orig = nat.hdr_decode_scanlines
+        nat.hdr_decode_scanlines = lambda *args: None   # force Python path
+        try:
+            b = hdr_io.read_hdr(p)
+        finally:
+            nat.hdr_decode_scanlines = orig
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)

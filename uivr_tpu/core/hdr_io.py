@@ -65,6 +65,12 @@ def read_hdr(path: str) -> np.ndarray:
     if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
         raise ValueError(f"{path}: unsupported orientation {res}")
     H, W = int(res[1]), int(res[3])
+    # native fast path (native/uivr_native.cpp): the per-byte RLE loop over
+    # multi-megapixel envmaps belongs in C++, like Mitsuba's Bitmap
+    from ..native import hdr_decode_scanlines
+    nat = hdr_decode_scanlines(data[pos:], W, H)
+    if nat is not None:
+        return _decode_rgbe(nat)
     buf = np.frombuffer(data, np.uint8, offset=pos)
     out = np.zeros((H, W, 4), np.uint8)
     i = 0

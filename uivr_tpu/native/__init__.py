@@ -43,6 +43,10 @@ def _load():
         lib.exr_zip_unpredict.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.hdr_decode_scanlines.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.hdr_decode_scanlines.restype = ctypes.c_int
         _lib = lib
         return lib
     except OSError:
@@ -92,3 +96,18 @@ def exr_zip_unpredict(data: bytes):
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return dst.tobytes()
+
+
+def hdr_decode_scanlines(payload: bytes, W: int, H: int):
+    """Decode Radiance RGBE scanlines into an (H, W, 4) uint8 array;
+    None if the native library is unavailable or the input is malformed
+    (caller falls back to the Python reader)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, np.uint8)
+    out = np.empty((H, W, 4), np.uint8)
+    rc = lib.hdr_decode_scanlines(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+        W, H, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
