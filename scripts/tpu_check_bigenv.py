@@ -21,8 +21,10 @@ from uivr_tpu.scene import Scene, finalize_medium
 from uivr_tpu.scene.camera import sample_rays
 
 print(jax.devices(), flush=True)
+import os
+EH = int(os.environ.get("BIGENV_H", 512))   # 1024 -> 2-megatexel production scale
 b = smoke_scene(res=64, resx=128, resy=128, n_sensors=4,
-                majorant_factor=16, envmap=procedural_sky(512, 1024))
+                majorant_factor=16, envmap=procedural_sky(EH, 2 * EH))
 sc = Scene(medium=finalize_medium(b.params, b.medium_cfg, b.to_world),
            emitter=b.emitter, cameras=b.cameras)
 assert vk._em_dims(sc)[3] > 0, "deferred mode not engaged"

