@@ -274,6 +274,31 @@ def make_render(settings: RenderSettings, medium_to_world: np.ndarray = None):
     return render
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _chunk_renderer(settings: RenderSettings, spp: int):
+    """One jitted chunk renderer per (settings, spp): the sensor index and
+    seed are TRACED arguments, so a single compilation serves every sensor
+    of a rig and every preview iteration (62-sensor reference scenes would
+    otherwise recompile per sensor — minutes each through the TPU relay)."""
+    st = settings
+
+    @jax.jit
+    def run(params_, emitter, cameras, to_world, pixels, sensor_, seed_):
+        sc = Scene(medium=finalize_medium(params_, st.medium, to_world),
+                   emitter=emitter, cameras=cameras)
+        sub_seed, _ = sample_tea_32(seed_, 22)
+        sidx = jnp.full((pixels.shape[0],), sensor_, jnp.int32)
+        o, d = _expand_rays(sc.cameras, sidx, pixels, st.film_size, spp,
+                            sub_seed)
+        L, _ = _dispatch_primal(st.integrator, sc, o, d, seed_)
+        return L.reshape(pixels.shape[0], spp, 3).mean(axis=1)
+
+    return run
+
+
 def render_image(settings: RenderSettings, params: MediumParams,
                  emitter: Emitter, cameras: Cameras, sensor: int,
                  seed=0, spp: int = None, chunk: int = 65536,
@@ -287,23 +312,13 @@ def render_image(settings: RenderSettings, params: MediumParams,
     spp = spp or st.spp
     if medium_to_world is None:
         medium_to_world = np.eye(4, dtype=np.float32)
-    scene = Scene(medium=finalize_medium(params, st.medium, medium_to_world),
-                  emitter=emitter, cameras=cameras)
 
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     all_pixels = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
     n_pix = all_pixels.shape[0]
     chunk_pix = max(1, chunk // spp)
-
-    @jax.jit
-    def _render_chunk(params_, pixels, seed_):
-        sc = scene._replace(medium=finalize_medium(params_, st.medium,
-                                                   medium_to_world))
-        sub_seed, _ = sample_tea_32(seed_, 22)
-        sidx = jnp.full((pixels.shape[0],), sensor, jnp.int32)
-        o, d = _expand_rays(sc.cameras, sidx, pixels, st.film_size, spp, sub_seed)
-        L, _ = _dispatch_primal(st.integrator, sc, o, d, seed_)
-        return L.reshape(pixels.shape[0], spp, 3).mean(axis=1)
+    run = _chunk_renderer(st, spp)
+    to_world = jnp.asarray(medium_to_world, jnp.float32)
 
     out = np.zeros((n_pix, 3), np.float32)
     for i in range(0, n_pix, chunk_pix):
@@ -312,7 +327,8 @@ def render_image(settings: RenderSettings, params: MediumParams,
         if pix.shape[0] < chunk_pix and i > 0:
             pad = chunk_pix - pix.shape[0]
             pix = np.concatenate([pix, np.zeros((pad, 2), np.int32)])
-        vals = np.asarray(_render_chunk(params, jnp.asarray(pix),
-                                        jnp.uint32(seed + i)))
+        vals = np.asarray(run(params, emitter, cameras, to_world,
+                              jnp.asarray(pix), jnp.int32(sensor),
+                              jnp.uint32(seed + i)))
         out[i:i + chunk_pix - pad] = vals[:pix.shape[0] - pad]
     return out.reshape(H, W, 3)
