@@ -154,35 +154,35 @@ add_scene_config("janga-smoke", builder=smoke_scene,
                  start_from_value={'medium1.sigma_t.data': 0.002, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.005},
                  builder_kwargs={"res": 128, "resx": 180, "resy": 155,
                                  "n_sensors": 62, "density_scale": 20.0,
-                                 "seed": 1})
+                                 "seed": 1, "majorant_factor": 16})
 add_scene_config("dust-devil", builder=smoke_scene,
                  scene_xml='dust-devil/dust-devil.xml',
                  scene_vars={'resx': 620, 'resy': 720, 'medium_filename': 'volumes/embergen_dust_devil_tornado_a_50-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/kloofendal_38d_partly_cloudy_4k.exr', 'majorant_resolution_factor': 8},
                  start_from_value={'medium1.sigma_t.data': 0.0004, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.001},
                  builder_kwargs={"res": 256, "resx": 155, "resy": 180,
                                  "n_sensors": 63, "density_scale": 100.0,
-                                 "seed": 2})
+                                 "seed": 2, "majorant_factor": 32})
 add_scene_config("astronaut-rotated", builder=smoke_scene,
                  scene_xml='astronaut-rotated/astronaut-rotated.xml',
                  scene_vars={'resx': 720, 'resy': 1080, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/skylit_garage_4k.exr', 'majorant_resolution_factor': 8},
                  start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 120, "resy": 180,
                                  "n_sensors": 64, "density_scale": 2.0,
-                                 "seed": 3})
+                                 "seed": 3, "majorant_factor": 16})
 add_scene_config("rover", builder=smoke_scene,
                  scene_xml='rover/rover.xml',
                  scene_vars={'resx': 860, 'resy': 720, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/gamrig_2k.hdr', 'majorant_resolution_factor': 8},
                  start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 215, "resy": 180,
                                  "n_sensors": 61, "density_scale": 2.0,
-                                 "seed": 4})
+                                 "seed": 4, "majorant_factor": 16})
 add_scene_config("tree-2", builder=smoke_scene,
                  scene_xml='tree-2/tree-2.xml',
                  scene_vars={'resx': 720, 'resy': 900, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/round_platform_2k.hdr', 'majorant_resolution_factor': 8},
                  start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 144, "resy": 180,
                                  "n_sensors": 64, "density_scale": 2.0,
-                                 "seed": 5})
+                                 "seed": 5, "majorant_factor": 16})
 for _base in ("janga-smoke", "dust-devil", "astronaut-rotated", "rover",
               "tree-2"):
     add_scene_config_variant(f"{_base}-from-nerf", _base,

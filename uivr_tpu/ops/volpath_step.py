@@ -1193,6 +1193,32 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
 _SCHED0 = int(os.environ.get("UIVR_SCHED0", 48))
 
 
+def _build_sched(schedule, n):
+    """Resolve a compaction schedule into [stage0_dispatches, (size, iters),
+    ...].  The UIVR_SCHED env (e.g. "32,/4:64,/8:256,/32") overrides the
+    per-call tuple for on-hardware sweeps: first token = stage-0 dispatch
+    budget at full width; each later token is a stage "SIZE[:ITERS]" where
+    "/k" sizes mean n//k (floored at 8192 lanes) and a missing ITERS means
+    "run to completion"."""
+    env = os.environ.get("UIVR_SCHED")
+    if env:
+        toks = env.split(",")
+        sched = [int(toks[0])]
+        for t in toks[1:]:
+            sz_s, _, it_s = t.partition(":")
+            sz = (max(n // int(sz_s[1:]), 8192) if sz_s.startswith("/")
+                  else int(sz_s))
+            sched.append((_round_stage(sz), int(it_s) if it_s else None))
+        return sched
+    sched = [schedule[0]]
+    defaults = [(_round_stage(max(n // 8, 8192)), 256),
+                (_round_stage(max(n // 32, 8192)), None)]
+    for i, st in enumerate(schedule[1:]):
+        sched.append(st if st is not None else
+                     defaults[i] if i < len(defaults) else (n, None))
+    return sched
+
+
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          schedule=(_SCHED0, None, None), path_state=None,
                          interpret: bool = None, return_state: bool = False,
@@ -1238,12 +1264,7 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
             return jnp.any(active_of(c)) & (c.it < cfg.max_steps)
         pc = jax.lax.while_loop(cond, step_dispatch, pc)
     else:
-        sched = [schedule[0]]
-        defaults = [(_round_stage(max(n // 8, 8192)), 256),
-                    (_round_stage(max(n // 32, 8192)), None)]
-        for i, st in enumerate(schedule[1:]):
-            sched.append(st if st is not None else
-                         defaults[i] if i < len(defaults) else (n, None))
+        sched = _build_sched(schedule, n)
         if k_cand > 1:
             # each dispatch covers ~k_cand events: compact correspondingly
             # earlier (stage iteration counts are in dispatches)
@@ -1437,12 +1458,7 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
             return jnp.any(active_of(c)) & (c.it < max_iters)
         ac = jax.lax.while_loop(cond, step_dispatch, ac)
     else:
-        sched = [schedule[0]]
-        defaults = [(_round_stage(max(n // 8, 8192)), 256),
-                    (_round_stage(max(n // 32, 8192)), None)]
-        for i, st in enumerate(schedule[1:]):
-            sched.append(st if st is not None else
-                         defaults[i] if i < len(defaults) else (n, None))
+        sched = _build_sched(schedule, n)
         for sz, _ in sched[1:]:
             if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
                 steps[sz] = _make_adj_step(cfg, scene, sz // 128, interpret)
