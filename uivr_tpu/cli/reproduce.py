@@ -78,8 +78,15 @@ def main(argv=None):
     from ..opt import render_references
     from ..render import RenderSettings
     ref_spp = args.ref_spp or scene_preset.ref_spp
+    # Reference images run with stock Russian roulette (the reference builds
+    # its ref integrator via mi.load_dict with only max_depth set, so
+    # Mitsuba's rr_depth=5 default applies — optimize.py:27-30).  Training
+    # integrators keep rr_depth = max_depth + 1000 (opt_config.py:104-106).
+    from dataclasses import replace as _dc_replace
     ref_int = get_int_config(scene_preset.ref_integrator).create(
         max_depth=scene_preset.max_depth)
+    if hasattr(ref_int, "rr_depth"):
+        ref_int = _dc_replace(ref_int, rr_depth=5)
     ref_settings = RenderSettings(
         integrator=ref_int, medium=bundle.medium_cfg,
         film_size=bundle.film_size, spp=ref_spp, spp_grad=ref_spp)

@@ -301,7 +301,7 @@ def _chunk_renderer(settings: RenderSettings, spp: int):
 
 def render_image(settings: RenderSettings, params: MediumParams,
                  emitter: Emitter, cameras: Cameras, sensor: int,
-                 seed=0, spp: int = None, chunk: int = 65536,
+                 seed=0, spp: int = None, chunk: int = 1 << 20,
                  medium_to_world: np.ndarray = None) -> np.ndarray:
     """Full-frame (non-differentiable) render of one sensor with multi-pass
     chunking — the reference's reference-image/preview path with its
