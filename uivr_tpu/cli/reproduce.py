@@ -25,6 +25,10 @@ BASE_OPT = dict(
     spp=16, n_iter=6000, lr=5e-3, primal_spp_factor=64, batch_size=32768,
     lr_schedule=Schedule.Last25, upsample=[0.04, 0.16, 0.36, 0.64],
     preview_spp=64,
+    # The reference never checkpoints mid-stage (checkpoint_stride=None,
+    # reproduce.py:56); we save a resumable full state every 100 iters so a
+    # multi-hour production stage survives preemption (opt/checkpoint.py).
+    checkpoint_stride=100,
 )
 # Mirrors the reference's per-experiment overrides verbatim
 # (reproduce.py:70-247: the nerf bootstrap stages run at spp 4 with a
