@@ -277,12 +277,21 @@ def main():
     metric = "Mrays/s/chip fwd+bwd @64spp"
     if parity:
         metric += " (reference-parity estimator config)"
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(per_chip, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(per_chip / 62.5, 4),
-    }))
+    }
+    if n_dev > 1:
+        # scaling-efficiency harness fields (target >= 85% per BASELINE.md):
+        # efficiency = per-chip multi-dev throughput / single-chip record
+        rec["n_devices"] = n_dev
+        rec["aggregate_mrays"] = round(mrays, 3)
+        ref1 = os.environ.get("BENCH_SINGLE_CHIP_MRAYS")
+        if ref1:
+            rec["scaling_efficiency"] = round(per_chip / float(ref1), 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

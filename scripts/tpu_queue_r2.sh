@@ -19,6 +19,10 @@ run() {  # run NAME CMD...
 
 run prod_step timeout 3000 python -u scripts/dev_production_step.py
 
+# 2-megatexel (1024x2048) envmap: coarse-proxy NEE vs flat full-res NEE on
+# hardware (VERDICT r1 weak #5 — proxy variance at production HDR sizes)
+run bigenv_2m timeout 3000 env BIGENV_H=1024 python -u scripts/tpu_check_bigenv.py
+
 # schedule sweep: fewer full-width dispatches before the first compaction,
 # with an extra /4 stage (the p50 lane finishes ~15 events; stage-0 48 was
 # tuned for batch 16384 — probe earlier cuts)
