@@ -97,7 +97,11 @@ class RenderSettings:
     # lanes) fits one chip's HBM.  Per-chunk seeds make the chunked render
     # a *different but identically-distributed* estimator than the
     # unchunked one (exactly like the reference's per-pass seeds).
-    max_rays_per_pass: int = 4 * 1024 * 1024
+    # Proven-good wavefront width on the axon v5e (gathers amortize by
+    # ~262k and plateau by 1M; >1M-lane dispatches have crashed the TPU
+    # worker — see PLAN.md production audit).  The reference's analogous
+    # pass cap is 720*720*2048 rays on a 24 GB Titan RTX (optimize.py:24).
+    max_rays_per_pass: int = 1024 * 1024
 
 
 def _resolve_engine(cfg, scene, n: int) -> str:
