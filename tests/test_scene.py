@@ -183,3 +183,22 @@ def test_medium_bbox_intersection_with_transform():
     assert bool(hit[0])
     np.testing.assert_allclose(float(tn[0]), 2.0, rtol=1e-5)
     np.testing.assert_allclose(float(tf[0]), 4.0, rtol=1e-5)
+
+
+def test_majorant_kernel_budget_coarsening():
+    """A requested factor whose supergrid exceeds the kernel's in-VMEM
+    budget (MediumConfig.kernel_majorant_max_cells) is doubled until it
+    fits — e.g. the reference's factor 8 on 264-class XML assets
+    (scene_config.py:110).  The coarser majorant must stay a conservative
+    upper bound (cost-only change, never bias)."""
+    p = _tiny_params(72, 72, 72)
+    m = finalize_medium(p, MediumConfig(majorant_factor=2, scale=1.0,
+                                        corner_tables=False))
+    assert int(np.prod(m.majorant_grid.shape)) <= 2048
+    # conservative: every supercell majorant >= max sigma within it
+    assert float(jnp.max(m.majorant_grid)) >= float(jnp.max(p.sigma_t)) - 1e-6
+    # opt-out keeps the exact requested factor
+    m0 = finalize_medium(p, MediumConfig(majorant_factor=2, scale=1.0,
+                                         corner_tables=False,
+                                         kernel_majorant_max_cells=0))
+    assert m0.majorant_grid.shape == (36, 36, 36)

@@ -53,6 +53,16 @@ class MediumConfig:
     corner_tables: bool = True
     corner_table_max_voxels: int = 160 ** 3
     combined_ct_max_voxels: int = 260 ** 3
+    # The fused Pallas tracking kernel keeps the majorant supergrid resident
+    # in VMEM as 128-lane chunk rows and requires <= this many supercells
+    # (ops/volpath_step.pallas_supported).  When a requested factor yields a
+    # larger supergrid (e.g. the reference's factor 8 on 264^3 XML assets,
+    # scene_config.py:110), the factor is doubled until it fits — a looser
+    # majorant changes tracking COST (more null collisions), never bias, and
+    # the factor-16 supergrid measured faster end-to-end anyway (PLAN.md
+    # majorant sweep).  0 disables the adjustment (exact requested factor,
+    # may fall back to the flat engine).
+    kernel_majorant_max_cells: int = 2048
 
 
 class Medium(NamedTuple):
@@ -101,6 +111,17 @@ def finalize_medium(params: MediumParams, cfg: MediumConfig,
         inv = jnp.linalg.inv(to_world)
 
     f = _effective_factor(cfg.majorant_factor, params.sigma_t.shape)
+    if f > 0 and cfg.kernel_majorant_max_cells:
+        # coarsen to the kernel-resident supergrid budget (see MediumConfig)
+        D_, H_, W_, _ = params.sigma_t.shape
+
+        def n_cells(fac):
+            return int(np.prod([-(-max(int(x) - 1, 1) // fac)
+                                for x in (D_, H_, W_)]))
+
+        min_side = min(D_, H_, W_)
+        while n_cells(f) > cfg.kernel_majorant_max_cells and 2 * f < min_side:
+            f *= 2
     sig = jax.lax.stop_gradient(params.sigma_t)
     if f == 0:
         maj = jnp.max(sig)[None, None, None]
