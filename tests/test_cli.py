@@ -36,3 +36,25 @@ def test_reproduce_cli_skips_completed(tmp_path, capsys):
         out, "tiny-cube", "nerf", "params", "final-medium1_sigma_t.vol"))
     reproduce.main(args)  # second run must skip
     assert "[skip]" in capsys.readouterr().out
+
+
+def test_experiment_overrides_match_reference():
+    """The per-experiment optimization overrides must mirror the reference's
+    reproduce.py:44-247 table: nerf bootstrap stages run at spp 4 with
+    primal factor 1-2, the *-from-nerf volpath stages disable upsampling,
+    and integrator-specific overrides beat scene-wide ones."""
+    from uivr_tpu.cli.reproduce import _opt_for
+    o = _opt_for("janga-smoke", "nerf", 1.0)
+    assert (o.spp, o.primal_spp_factor, o.lr) == (4, 1, 1e-2)
+    assert o.upsample == [0.04, 0.16, 0.36, 0.64]
+    o = _opt_for("janga-smoke", "volpathsimple-drt", 1.0)
+    assert (o.spp, o.primal_spp_factor, o.lr) == (16, 64, 5e-3)
+    assert (o.n_iter, o.batch_size) == (6000, 32768)
+    # scene-wide lr applies to volpath but the nerf override wins for nerf
+    assert _opt_for("dust-devil", "volpathsimple-drt", 1.0).lr == 3e-4
+    assert _opt_for("dust-devil", "nerf", 1.0).lr == 5e-3
+    assert _opt_for("dust-devil", "nerf", 1.0).primal_spp_factor == 2
+    # warm-start variants disable upsampling
+    assert _opt_for("janga-smoke-from-nerf", "volpathsimple-drt",
+                    1.0).upsample is None
+    assert _opt_for("rover-from-nerf", "volpathsimple-drt", 1.0).lr == 1e-2
