@@ -28,7 +28,7 @@ BASE_OPT = dict(
     # The reference never checkpoints mid-stage (checkpoint_stride=None,
     # reproduce.py:56); we save a resumable full state every 100 iters so a
     # multi-hour production stage survives preemption (opt/checkpoint.py).
-    checkpoint_stride=100,
+    checkpoint_stride=50,
 )
 # Mirrors the reference's per-experiment overrides verbatim
 # (reproduce.py:70-247: the nerf bootstrap stages run at spp 4 with a
