@@ -13,6 +13,8 @@ Completed runs (final checkpoint present) are skipped (reproduce.py:39-41).
 from __future__ import annotations
 
 import argparse
+import sys
+import time
 from os.path import isfile, join
 
 from ..config.registry import (get_int_config, get_scene_config,
@@ -81,7 +83,37 @@ def main(argv=None):
     ap.add_argument("--scan-stride", type=int, default=10,
                     help="iterations per device-resident lax.scan chunk "
                          "(0 = host loop; single-device only)")
+    ap.add_argument("--retries", type=int, default=0,
+                    help="re-exec in a fresh process and resume from the "
+                         "latest full-state checkpoint after a device/"
+                         "runtime failure, up to N times (the axon TPU "
+                         "client is not reusable after a worker crash)")
     args = ap.parse_args(argv)
+
+    if args.retries > 0:
+        # strip --retries and supervise fresh child processes instead:
+        # completed stages skip via their final checkpoints, partial stages
+        # resume from the latest full-state checkpoint (opt/checkpoint.py).
+        import subprocess
+        child = [sys.executable, "-m", "uivr_tpu.cli.reproduce"]
+        it = iter(argv if argv is not None else sys.argv[1:])
+        for a in it:
+            if a == "--retries":
+                next(it, None)
+                continue
+            if a.startswith("--retries="):
+                continue
+            child.append(a)
+        rc = 1
+        for attempt in range(args.retries + 1):
+            if attempt:
+                print(f"[retry] attempt {attempt + 1}/{args.retries + 1}",
+                      flush=True)
+                time.sleep(30)
+            rc = subprocess.call(child)
+            if rc == 0:
+                break
+        sys.exit(rc)
 
     scene_preset = get_scene_config(args.config)
     bundle = scene_preset.build()
