@@ -137,6 +137,35 @@ def test_majorant_grid_is_conservative():
     assert float(global_majorant(g)) >= vals.max() - 1e-5
 
 
+def test_majorant_covers_nondivisible_boundary_slivers():
+    """Regression: supercells are uniform in p-space at every lookup site
+    (floor(p * dims)), so the builder must window nodes per uniform-p cell.
+    On non-divisible grids (63 cells / factor 16) the old node-space
+    stride-16 windowing left boundary slivers where trilinear sigma exceeded
+    the looked-up majorant (observed: sigma 7.0 vs majorant 0.0) — a bias in
+    the unbiased tracker.  Spike a single node near such a boundary and
+    verify the uniform-p lookup bounds it."""
+    D = 64                       # 63 interp cells, factor 16 -> dims 4
+    g = np.zeros((D, D, D, 1), np.float32)
+    g[32, 32, 47, 0] = 10.0      # node 47: old window split at x=48
+    maj = build_majorant_grid(jnp.asarray(g), factor=16)
+    assert maj.shape == (4, 4, 4)
+    rs = np.random.RandomState(0)
+    # dense sampling around the spike's support plus random points
+    pts = np.concatenate([
+        rs.rand(2000, 3).astype(np.float32),
+        np.stack([np.linspace(46.0, 49.0, 200) / 63.0,
+                  np.full(200, 32 / 63.0), np.full(200, 32 / 63.0)],
+                 axis=-1).astype(np.float32)[:, [0, 1, 2]]])
+    pts = jnp.asarray(np.stack([pts[:, 0], pts[:, 1], pts[:, 2]], axis=-1))
+    vals = np.asarray(trilinear_sample(jnp.asarray(g), pts))[:, 0]
+    cell = np.minimum((np.asarray(pts) * 4).astype(int), 3)
+    m = np.asarray(maj)
+    bound = m[cell[:, 2], cell[:, 1], cell[:, 0]]
+    assert (vals <= bound + 1e-5).all(), \
+        float((vals - bound).max())
+
+
 def test_resize_trilinear_shapes():
     g = _rand_grid((4, 4, 4, 3))
     out = resize_trilinear(g, (8, 8, 8))

@@ -181,37 +181,64 @@ def fold_corner_table(grad_table: jnp.ndarray,
     return out
 
 
+def _axis_window_max(arr: jnp.ndarray, axis: int, n_nodes: int,
+                     n_cells: int) -> jnp.ndarray:
+    """Per-axis conservative max-pool onto ``n_cells`` UNIFORM-p cells.
+
+    Cell ``s`` covers local coordinates p in [s/c, (s+1)/c], i.e. node-space
+    x = p*(N-1) in [s*(N-1)/c, (s+1)*(N-1)/c]; trilinear interpolation there
+    reads nodes floor(x) and floor(x)+1, so the cell's bound is the max over
+    nodes [floor(s*(N-1)/c), floor((s+1)*(N-1)/c) + 1] (clamped).  Windows
+    have data-independent extents, implemented as one static gather + max.
+    """
+    import numpy as np
+    N, c = int(n_nodes), int(n_cells)
+    s = np.arange(c, dtype=np.int64)
+    lo = (s * (N - 1)) // c
+    hi = np.minimum(((s + 1) * (N - 1)) // c + 1, N - 1)
+    win = int((hi - lo).max()) + 1
+    idx = np.minimum(lo[:, None] + np.arange(win)[None, :], hi[:, None])
+    g = jnp.take(arr, jnp.asarray(idx.reshape(-1), jnp.int32), axis=axis)
+    shp = list(g.shape)
+    shp[axis:axis + 1] = [c, win]
+    return jnp.max(g.reshape(shp), axis=axis + 1)
+
+
+def build_bound_grid(sigma: jnp.ndarray, dims: Tuple[int, int, int]
+                     ) -> jnp.ndarray:
+    """Conservative per-cell upper bound of trilinear(sigma) on a uniform-p
+    cell grid of shape ``dims`` (Dc, Hc, Wc): separable application of
+    :func:`_axis_window_max` over the (D,H,W,1) node grid."""
+    D, H, W, C = sigma.shape
+    assert C == 1
+    s = sigma[..., 0]
+    s = _axis_window_max(s, 0, D, dims[0])
+    s = _axis_window_max(s, 1, H, dims[1])
+    s = _axis_window_max(s, 2, W, dims[2])
+    return s
+
+
+def majorant_dims(shape: Tuple[int, ...], factor: int) -> Tuple[int, int, int]:
+    """Supergrid dims for a (D,H,W,...) grid: Xc = ceil(max(X-1,1)/factor)."""
+    return tuple(-(-max(int(n) - 1, 1) // factor) for n in shape[:3])
+
+
 def build_majorant_grid(sigma: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Conservative coarse max-grid over a (D,H,W,1) density grid.
 
     TPU-native equivalent of the branch-added Mitsuba majorant supergrid
-    (reference: python/optimize.py:182-199).  Supercell ``s`` along an axis
-    covers interpolation cells [s*f, (s+1)*f); since a trilinear value inside
-    a cell is bounded by the max of its corner nodes, the supercell majorant
-    is the max over nodes [s*f, s*f + f] (window f+1, stride f), clamped at
-    the boundary.  Returns (Dc, Hc, Wc) with Xc = ceil(max(X-1, 1) / f).
+    (reference: python/optimize.py:182-199).  Supercells are UNIFORM in the
+    local [0,1]^3 frame — matching every runtime lookup (floor(p * dims)) —
+    and each cell's majorant is the max over all nodes whose trilinear
+    support intersects the cell (:func:`build_bound_grid`), so trilinear
+    sigma never exceeds the looked-up majorant anywhere in the cell.
+    (An earlier node-space stride-``factor`` windowing disagreed with the
+    uniform-p lookup on non-divisible grids, under-covering boundary
+    slivers — a bias; see tests/test_grids.py majorant coverage tests.)
+    Returns (Dc, Hc, Wc) with Xc = ceil(max(X-1, 1) / factor).
     """
     assert factor >= 1
-    D, H, W, C = sigma.shape
-    assert C == 1
-    s = sigma[..., 0]
-
-    def ncells(n):
-        return -(-max(n - 1, 1) // factor)
-
-    dims = (ncells(D), ncells(H), ncells(W))
-    pads = []
-    for n, c in zip((D, H, W), dims):
-        needed = c * factor + 1   # nodes required to cover all windows
-        pads.append((0, max(0, needed - n)))
-    sp = jnp.pad(s, pads, mode="edge")
-    out = jax.lax.reduce_window(
-        sp, -jnp.inf, jax.lax.max,
-        window_dimensions=(factor + 1,) * 3,
-        window_strides=(factor,) * 3,
-        padding="VALID")
-    assert out.shape == dims, (out.shape, dims)
-    return out
+    return build_bound_grid(sigma, majorant_dims(sigma.shape, factor))
 
 
 def global_majorant(sigma: jnp.ndarray) -> jnp.ndarray:
