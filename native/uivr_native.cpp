@@ -111,17 +111,20 @@ int hdr_decode_scanlines(const uint8_t* src, int64_t n, int64_t W, int64_t H,
       }
     } else {  // flat pixels with old-style (1,1,1,n) run markers
       int64_t x = 0;
+      int rshift = 0;  // consecutive markers shift the count 8 bits each
       while (x < W) {
         if (i + 4 > n) return -1;
         if (src[i] == 1 && src[i + 1] == 1 && src[i + 2] == 1 && x > 0) {
-          int64_t cnt = src[i + 3];
+          int64_t cnt = (int64_t)src[i + 3] << rshift;
           if (x + cnt > W) return -1;
           for (int64_t k = 0; k < cnt; ++k)
             std::memcpy(row + (x + k) * 4, row + (x - 1) * 4, 4);
           x += cnt;
+          rshift += 8;
         } else {
           std::memcpy(row + x * 4, src + i, 4);
           x += 1;
+          rshift = 0;
         }
         i += 4;
       }

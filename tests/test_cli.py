@@ -58,3 +58,18 @@ def test_experiment_overrides_match_reference():
     assert _opt_for("janga-smoke-from-nerf", "volpathsimple-drt",
                     1.0).upsample is None
     assert _opt_for("rover-from-nerf", "volpathsimple-drt", 1.0).lr == 1e-2
+
+
+def test_scene_lr_factors_match_reference():
+    """Per-scene param LR factors mirror reference scene_config.py: the
+    default albedo factor 2.0 everywhere except dust-devil-from-nerf's
+    explicit albedo 100 (scene_config.py:191)."""
+    from uivr_tpu.config.registry import get_scene_config
+    assert get_scene_config("dust-devil-from-nerf").param_lr_factors == {
+        "albedo": 100.0}
+    for name in ("janga-smoke", "dust-devil", "janga-smoke-from-nerf",
+                 "rover-from-nerf", "tree-2-from-nerf",
+                 "astronaut-rotated-from-nerf"):
+        if name == "dust-devil-from-nerf":
+            continue
+        assert get_scene_config(name).param_lr_factors == {"albedo": 2.0}

@@ -142,3 +142,32 @@ def test_native_hdr_decode_matches_python(tmp_path):
             nat.hdr_decode_scanlines = orig
         assert np.isfinite(a).all()
         np.testing.assert_array_equal(a, b)
+
+
+def test_hdr_old_style_long_runs(tmp_path):
+    """Radiance old-style RLE: CONSECUTIVE (1,1,1,n) markers shift the
+    repeat count 8 bits each (runs > 255 px).  1 + 43 + (2<<8) = 556 = W;
+    both decoders must expand the run to the full scanline."""
+    import uivr_tpu.native as nat
+    from uivr_tpu.core import hdr_io
+
+    W, H = 556, 2
+    head = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y {H} +X {W}\n".encode())
+    px = bytes([100, 120, 140, 136])
+    body = (px + bytes([1, 1, 1, 43]) + bytes([1, 1, 1, 2])) * H
+    p = str(tmp_path / "oldrle.hdr")
+    with open(p, "wb") as f:
+        f.write(head + body)
+
+    a = hdr_io.read_hdr(p)
+    orig = nat.hdr_decode_scanlines
+    nat.hdr_decode_scanlines = lambda *args: None       # force Python path
+    try:
+        b = hdr_io.read_hdr(p)
+    finally:
+        nat.hdr_decode_scanlines = orig
+    assert a.shape == (H, W, 3)
+    np.testing.assert_array_equal(a, b)
+    # whole scanline equals the first pixel's decoded value
+    np.testing.assert_array_equal(a, np.broadcast_to(a[:, :1], a.shape))

@@ -185,5 +185,12 @@ add_scene_config("tree-2", builder=smoke_scene,
                                  "seed": 5, "majorant_factor": 16})
 for _base in ("janga-smoke", "dust-devil", "astronaut-rotated", "rover",
               "tree-2"):
+    _extra = {}
+    if _base == "dust-devil":
+        # reference scene_config.py:191: dust-devil-from-nerf trains albedo
+        # at a 100x base LR (all other -from-nerf variants keep the default
+        # albedo factor 2.0 from SceneConfig.__post_init__)
+        _extra["param_lr_factors"] = {"albedo": 100.0}
     add_scene_config_variant(f"{_base}-from-nerf", _base,
-                             warm_start_from=f"{_base}/nerf/params")
+                             warm_start_from=f"{_base}/nerf/params",
+                             **_extra)

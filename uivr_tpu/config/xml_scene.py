@@ -210,15 +210,20 @@ def load_xml_scene(path: str, variables: Dict[str, object] = None,
         fov = float(p.get("fov", 34.0))
         to_world = _parse_transform(sensor.find("transform"), variables)
         f = sensor.find("film")
-        W = H = None
+        own = None
         if f is not None:
             fp = _props(f, variables)
-            W, H = int(fp.get("width", 768)), int(fp.get("height", 576))
-        film = film or (W, H)
+            own = (int(fp.get("width", 768)), int(fp.get("height", 576)))
+            # only adopt dims from sensors that HAVE a film block: a leading
+            # film-less sensor must leave the (768, 576) default reachable
+            # instead of poisoning `film` with (None, None)
+            film = film or own
         if str(p.get("fov_axis", "x")) == "y":
-            # convert to an x-axis fov through the aspect ratio
+            # convert to an x-axis fov through the aspect ratio (of this
+            # sensor's own film when present, Mitsuba's default otherwise)
+            fw, fh = own or film or (768, 576)
             fov = np.rad2deg(2 * np.arctan(
-                np.tan(np.deg2rad(fov) / 2) * (film[0] / film[1])))
+                np.tan(np.deg2rad(fov) / 2) * (fw / fh)))
         cams.append((to_world, fov))
     if not cams:
         raise ValueError("scene has no perspective sensors")

@@ -92,14 +92,20 @@ def read_hdr(path: str) -> np.ndarray:
                         i += 1 + n
         else:                               # flat (possibly old-style runs)
             x = 0
+            rshift = 0
             while x < W:
                 px = buf[i:i + 4]
                 if px[0] == 1 and px[1] == 1 and px[2] == 1 and x > 0:
-                    n = int(px[3])          # old-style run marker
+                    # old-style run marker; CONSECUTIVE markers shift the
+                    # count 8 bits further each (Radiance color.c rule for
+                    # runs longer than 255 pixels)
+                    n = int(px[3]) << rshift
                     out[y, x:x + n] = out[y, x - 1]
                     x += n
+                    rshift += 8
                 else:
                     out[y, x] = px
                     x += 1
+                    rshift = 0
                 i += 4
     return _decode_rgbe(out)

@@ -61,11 +61,11 @@ _TEA_K = [np.int32(np.uint32(k)) for k in
 
 
 # Per-draw TEA rounds for the in-kernel streams; MUST match core.rng's
-# _DRAW_ROUNDS (lane_next_1d) for flat/pallas bit-parity.  5 rounds passes
-# the uniformity/serial-correlation/2D-stratification battery on the
-# (h=well-mixed, dim=sequential) input structure (scripts history, round 2);
-# 4 rounds does NOT (lag-1 corr 0.08).  Env override for timing probes only.
-_DRAW_ROUNDS = int(os.environ.get("UIVR_TEA_DRAW_ROUNDS", 5))
+# _DRAW_ROUNDS (lane_next_1d) for flat/pallas bit-parity, so it is imported
+# from the ONE place that reads the UIVR_TEA_DRAW_ROUNDS override — two
+# independent env reads could silently diverge if the var is mutated between
+# module imports (advisor round-2 finding).
+from ..core.rng import _DRAW_ROUNDS
 
 
 def tea_i32(v0, v1, rounds: int = 8):
