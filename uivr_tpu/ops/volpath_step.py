@@ -181,6 +181,17 @@ class StepSpec:
     # (real scatter / segment end / RR kill).  Unbiased: the discarded TEA
     # draws are consumed deterministically and never used.  Primal only.
     k_cand: int = 1
+    # In-kernel collision classification (PLAN round 3): a per-subcell
+    # conservative sigma upper bound (Ds, Hs, Ws cells over [0,1]^3, chunk
+    # rows in VMEM) resolves most NULL events without the XLA sigma row
+    # gather: a MAIN candidate with u*sigma_maj >= hi(p) is null (hi >=
+    # sigma(p) implies the flat engine decides the same — realization-
+    # identical), and a SHADOW collision in an hi == 0 cell multiplies the
+    # transmittance by exactly 1.  Classified events continue inside the
+    # crossing unroll instead of burning a dispatch + row gather; measured
+    # 81% of MAIN nulls at subcell factor 4 on the bench scene
+    # (scripts/dev_classify_probe.py).  0 = classification off.
+    Ds: int = 0; Hs: int = 0; Ws: int = 0
     interpret: bool = False
 
     @property
@@ -197,6 +208,10 @@ class StepSpec:
     def em_chunks(self) -> int:
         return -(-self.em_h * self.em_w_ // 128)
 
+    @property
+    def cls_chunks(self) -> int:
+        return -(-self.Ds * self.Hs * self.Ws // 128)
+
 
 class StepTables(NamedTuple):
     maj: jnp.ndarray     # (n_chunks, 128) majorant supergrid, scale folded
@@ -205,16 +220,33 @@ class StepTables(NamedTuple):
     #                      constant emitter
     scal: jnp.ndarray    # (1, 24) SMEM: w2l[0:9], phase_g[9], em_w[10:13],
     #                      do_post[13], em_to_world[14:23]
+    sub: jnp.ndarray     # (cls_chunks, 128) per-subcell sigma upper bound
+    #                      (scale folded, detached); (1,128) zeros if off
 
 
-def build_tables(scene: Scene, em_nee=None) -> StepTables:
+def build_tables(scene: Scene, em_nee=None,
+                 cls_dims: Tuple[int, int, int] = None) -> StepTables:
     """``em_nee``: coarse sampling emitter for deferred-radiance NEE — its
-    alias channels (4 rows/chunk, NO radiance) become the kernel table."""
+    alias channels (4 rows/chunk, NO radiance) become the kernel table.
+    ``cls_dims``: subcell classification grid dims (StepSpec.Ds/Hs/Ws)."""
     m = scene.medium
     Tm = int(np.prod(m.majorant_grid.shape))
     nc = -(-Tm // 128)
     maj = jnp.pad(m.majorant_grid.reshape(-1),
                   (0, nc * 128 - Tm)).reshape(nc, 128)
+    if cls_dims and int(np.prod(cls_dims)) > 0:
+        from ..core.grids import build_bound_grid
+        # detached like the majorant (a sampling bound, not differentiated);
+        # |.| so hi == 0 certifies sigma(p) == 0 exactly, and a 1e-6 margin
+        # keeps hi >= trilinear(sigma) under fp rounding of the interpolant
+        hi = build_bound_grid(
+            jnp.abs(jax.lax.stop_gradient(m.params.sigma_t)), cls_dims)
+        hi = hi * (m.scale * jnp.float32(1.000001))
+        Ts = int(np.prod(cls_dims))
+        sc_ = -(-Ts // 128)
+        sub = jnp.pad(hi.reshape(-1), (0, sc_ * 128 - Ts)).reshape(sc_, 128)
+    else:
+        sub = jnp.zeros((1, 128), jnp.float32)
     w2l = m.world_to_local[:3, :3].reshape(9)
     if isinstance(scene.emitter, EnvmapEmitter):
         e = em_nee if em_nee is not None else scene.emitter
@@ -239,7 +271,7 @@ def build_tables(scene: Scene, em_nee=None) -> StepTables:
     scal = jnp.concatenate([
         w2l, m.phase_g[None], em_const, jnp.zeros(1, jnp.float32),
         em2w, jnp.zeros(1, jnp.float32)]).reshape(1, 24)
-    return StepTables(maj=maj, em=em, scal=scal)
+    return StepTables(maj=maj, em=em, scal=scal, sub=sub)
 
 
 def _chunk_shuffle(ref, idx, base: int = 0, n_chunks: int = None):
@@ -259,7 +291,7 @@ def _chunk_shuffle(ref, idx, base: int = 0, n_chunks: int = None):
     return out
 
 
-def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
+def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sub_ref, *refs):
     KC = spec.k_cand
     sig_refs = refs[:4 * KC]
     refs = refs[4 * KC:]
@@ -792,8 +824,22 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
     # candidate, walking forward null-assumed: a candidate collision does
     # not change the walk unless it turns out real, which POST resolves
     # next dispatch.  Emission stops at a segment end / crossing budget.
+    #
+    # Classification (StepSpec.Ds): candidate collisions whose event is
+    # decided by the per-subcell sigma bound alone (MAIN null via
+    # u*smaj >= hi; SHADOW ratio factor exactly 1 via hi == 0) CONTINUE in
+    # the unroll like crossings, consuming the identical draws — the flat
+    # engine reaches the same decision from sigma(p) <= hi, so the
+    # realization is unchanged but the event costs no dispatch/row-gather.
+    # Primal MAIN segment ends (escape) also resolve in-kernel: POST's only
+    # action for them is flags|=ESC, mode=DONE (the adjoint keeps them in
+    # POST for reservoir/transmittance-gradient processing).
+    use_cls = spec.Ds > 0 and KC == 1
+    use_esc = (not spec.adjoint) and KC == 1 \
+        and os.environ.get("UIVR_ESC", "1") == "1"
     stopped = ~n_walk
     zf = jnp.zeros_like(nwt)
+    esc_acc = jnp.zeros_like(n_walk)
     cand_rec = []
     CS = max(spec.cross_steps, 1)
     for kc in range(KC):
@@ -835,7 +881,29 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
             bound = jnp.minimum(texit_k, n_wmax)
             hit = tcand_k < bound
             cross = (~hit) & (texit_k < n_wmax)
-            stop_now = active if last else (active & ~cross)
+            if use_cls and not last:
+                # subcell sigma bound at the candidate point: one chunk
+                # shuffle (cls_chunks rounds); classified events continue
+                # like crossings but advance to the candidate position
+                pcx = jnp.clip(ox + tcand_k * wdx, 0.0, 1.0 - 1e-7)
+                pcy = jnp.clip(oy + tcand_k * wdy, 0.0, 1.0 - 1e-7)
+                pcz = jnp.clip(oz + tcand_k * wdz, 0.0, 1.0 - 1e-7)
+                scx = (pcx * float(spec.Ws)).astype(jnp.int32)
+                scy = (pcy * float(spec.Hs)).astype(jnp.int32)
+                scz = (pcz * float(spec.Ds)).astype(jnp.int32)
+                sidx = (scz * spec.Hs + scy) * spec.Ws + scx
+                hi_k = _chunk_shuffle(sub_ref, sidx, 0, spec.cls_chunks)
+                cls = hit & ((n_main & (uevt_k * smaj_k >= hi_k))
+                             | (n_sh & (hi_k <= 0.0)))
+            else:
+                cls = jnp.zeros_like(hit)
+            if use_esc:
+                esc_now = active & (~hit) & (~cross) & n_main
+                esc_acc = esc_acc | esc_now
+            else:
+                esc_now = jnp.zeros_like(hit)
+            stop_now = ((active & ~esc_now) if last
+                        else (active & ~cross & ~cls & ~esc_now))
             n_smaj = jnp.where(stop_now, smaj_k, n_smaj)
             n_texit = jnp.where(stop_now, texit_k, n_texit)
             n_tcand = jnp.where(stop_now, tcand_k, n_tcand)
@@ -844,11 +912,14 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
                 stop_now,
                 jnp.where(hit, 1.0, jnp.where(cross, 3.0, 2.0)), n_kind)
             if not last:
-                adv = active & cross
-                nwt = jnp.where(adv, texit_k, nwt)
+                adv = active & cross & ~esc_now
+                adv_cls = active & cls & ~esc_now
+                nwt = jnp.where(adv_cls, tcand_k,
+                                jnp.where(adv, texit_k, nwt))
                 if spec.adjoint:
-                    rpdim = jnp.where(adv & n_rp, rpdim + 2, rpdim)
-            found = found | stop_now
+                    rpdim = jnp.where((adv | adv_cls) & n_rp, rpdim + 2,
+                                      rpdim)
+            found = found | stop_now | esc_now
         cand_rec.append(dict(
             px=ox + n_tcand * wdx, py=oy + n_tcand * wdy,
             pz=oz + n_tcand * wdz, tcand=n_tcand, texit=n_texit,
@@ -865,6 +936,10 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, *refs):
     sht = jnp.where(n_sh, nwt, sht)
     if spec.adjoint:
         rpt = jnp.where(n_rp, nwt, rpt)
+    if use_esc:
+        # primal MAIN escapes resolved in-kernel (POST's m_escape action)
+        mode = jnp.where(esc_acc, DONE, mode)
+        flags = flags | jnp.where(esc_acc, FL_ESC, 0)
 
     out_vals = dict(
         ox=ox, oy=oy, oz=oz, dlx=dlx, dly=dly, dlz=dlz,
@@ -929,11 +1004,13 @@ def _make_call(spec: StepSpec):
     state = pl.BlockSpec((Rb, 128), slab, memory_space=pltpu.VMEM)
     nc = max(spec.n_chunks, 1)
     emr = max((4 if spec.em_fh else 7) * spec.em_chunks, 1)
+    subr = max(spec.cls_chunks, 1)
     n_planes = spec.n_planes
     in_specs = [
         pl.BlockSpec((1, 24), fixed, memory_space=pltpu.SMEM),
         pl.BlockSpec((nc, 128), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((emr, 128), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((subr, 128), fixed, memory_space=pltpu.VMEM),
     ] + [state] * (4 * spec.k_cand) + [state] * n_planes   # sig/albedo x K
     dtypes = ([jnp.float32] * len(F32_PLANES) + [jnp.int32] * len(I32_PLANES)
               + [jnp.float32] * len(_pre_names(spec.k_cand)))
@@ -941,7 +1018,7 @@ def _make_call(spec: StepSpec):
         dtypes += ([jnp.float32] * len(ADJ_F32) + [jnp.int32] * len(ADJ_I32)
                    + [jnp.float32] * len(_scatter_outs(spec.tgs)))
     out_shape = [jax.ShapeDtypeStruct((spec.R, 128), dt) for dt in dtypes]
-    n_pre_in = 3 + 4 * spec.k_cand
+    n_pre_in = 4 + 4 * spec.k_cand
     aliases = {n_pre_in + i: i for i in range(n_planes)}
     return pl.pallas_call(
         functools.partial(_step_kernel, spec),
@@ -1051,7 +1128,7 @@ def pallas_supported(scene: Scene, n: int, cfg: VolpathConfig = None) -> bool:
     else:
         em_ok = isinstance(scene.emitter, ConstantEmitter)
     return (em_ok and m.combined_ct is not None
-            and Tm <= 2048
+            and Tm <= int(os.environ.get("UIVR_KERNEL_TM", 2048))
             and n >= 1024)       # any size: _pad_rays rounds up to 1024s
 
 
@@ -1102,6 +1179,23 @@ def _sigma_albedo_planes(m, px, py, pz):
 _EM_MAX_TEXELS = 8192     # largest alias table kept at full res in VMEM
 
 
+def _cls_dims(shape) -> Tuple[int, int, int]:
+    """Subcell classification grid dims: the smallest power-of-2 factor
+    whose uniform-p cell grid fits the UIVR_CLASS_CELLS budget (default
+    4096 = 32 chunk-shuffle rounds per lookup, measured ~0.14 ns/lane;
+    0 disables classification)."""
+    budget = int(os.environ.get("UIVR_CLASS_CELLS", 4096))
+    if budget <= 0:
+        return (0, 0, 0)
+    from ..core.grids import majorant_dims
+    fs = 1
+    while True:
+        dims = majorant_dims(shape, fs)
+        if int(np.prod(dims)) <= budget:
+            return tuple(int(x) for x in dims)
+        fs *= 2
+
+
 def _em_dims(scene: Scene):
     """Kernel emitter geometry: (kind, sampling H, W, fine fh, fw, em_nee).
 
@@ -1146,14 +1240,17 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
     ek, He, We, fh, fw, em_nee = _em_dims(scene)
+    Ds, Hs, Ws = ((0, 0, 0) if k_cand > 1
+                  else _cls_dims(m.params.sigma_t.shape))
     spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
                     emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
                     shadow_rr=cfg.shadow_rr, k_cand=k_cand,
+                    Ds=Ds, Hs=Hs, Ws=Ws,
                     interpret=interpret)
     call = _make_call(spec)
-    tables = build_tables(scene, em_nee)
+    tables = build_tables(scene, em_nee, cls_dims=(Ds, Hs, Ws))
     names = F32_PLANES + I32_PLANES + _pre_names(k_cand)
     fix = _deferred_nee_fixup(names, scene.emitter) if fh else None
 
@@ -1177,8 +1274,8 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
             z = jnp.zeros((R, 128), jnp.float32)
             sig_alb = [z] * (4 * k_cand)
         scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
-        planes = tuple(call(scal, tables.maj, tables.em, *sig_alb,
-                            *pc.planes))
+        planes = tuple(call(scal, tables.maj, tables.em, tables.sub,
+                            *sig_alb, *pc.planes))
         if fix is not None and do_post:
             planes = fix(planes)
         return PlanesCarry(planes=planes,
@@ -1328,6 +1425,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
     ek, He, We, fh, fw, em_nee = _em_dims(scene)
+    Ds, Hs, Ws = _cls_dims(m.params.sigma_t.shape)
     spec = StepSpec(Dc=Dc, Hc=Hc, Wc=Wc, R=R,
                     max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
                     use_nee=cfg.use_nee, phase_iso=_static_iso(m.phase_g),
@@ -1336,9 +1434,10 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                     adjoint=True, tgs=cfg.trans_grad_samples,
                     use_drt=cfg.use_drt, use_drt_mis=cfg.use_drt_mis,
                     use_drt_sub=cfg.use_drt_subsampling,
+                    Ds=Ds, Hs=Hs, Ws=Ws,
                     interpret=interpret)
     call = _make_call(spec)
-    tables = build_tables(scene, em_nee)
+    tables = build_tables(scene, em_nee, cls_dims=(Ds, Hs, Ws))
     fix = (_deferred_nee_fixup(ALL_PLANES + ADJ_PLANES, scene.emitter)
            if fh else None)
     n = R * 128
@@ -1353,7 +1452,8 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
             sig = jnp.zeros((R, 128), jnp.float32)
             a0 = a1 = a2 = sig
         scal = tables.scal.at[0, 13].set(1.0 if do_post else 0.0)
-        out = call(scal, tables.maj, tables.em, sig, a0, a1, a2, *c.planes)
+        out = call(scal, tables.maj, tables.em, tables.sub,
+                   sig, a0, a1, a2, *c.planes)
         planes = tuple(out[:N_ADJ])
         if fix is not None and do_post:
             planes = fix(planes)

@@ -17,6 +17,7 @@ between frames because directions are not renormalized (core/aabb.py).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Tuple
 
@@ -58,11 +59,15 @@ class MediumConfig:
     # (ops/volpath_step.pallas_supported).  When a requested factor yields a
     # larger supergrid (e.g. the reference's factor 8 on 264^3 XML assets,
     # scene_config.py:110), the factor is doubled until it fits — a looser
-    # majorant changes tracking COST (more null collisions), never bias, and
-    # the factor-16 supergrid measured faster end-to-end anyway (PLAN.md
-    # majorant sweep).  0 disables the adjustment (exact requested factor,
-    # may fall back to the flat engine).
-    kernel_majorant_max_cells: int = 2048
+    # majorant changes tracking COST (more null collisions), never bias.
+    # 0 disables the adjustment (exact requested factor, may fall back to
+    # the flat engine).  The UIVR_KERNEL_TM env raises the budget in lock
+    # step with pallas_supported's gate (round-3 sweeps: a 4096-cell
+    # supergrid is 32 chunk-shuffle rounds per lookup, and TIGHTER walking
+    # majorants cut the dominant per-collision sigma row gathers now that
+    # crossings/classified nulls resolve in-kernel).
+    kernel_majorant_max_cells: int = int(
+        os.environ.get("UIVR_KERNEL_TM", 2048))
 
 
 class Medium(NamedTuple):
