@@ -73,3 +73,54 @@ def test_scene_lr_factors_match_reference():
         if name == "dust-devil-from-nerf":
             continue
         assert get_scene_config(name).param_lr_factors == {"albedo": 2.0}
+
+
+def test_sensor_rigs_match_reference():
+    """Calibrated sensor subsets + preview sensors + the normal/ref
+    scene-vars split mirror the reference (scene_config.py:114,164,218,
+    270,321,225,99-113)."""
+    from uivr_tpu.config.registry import get_scene_config
+    no5253 = tuple(i for i in range(64) if i not in (52, 53))
+    no53 = tuple(i for i in range(64) if i != 53)
+    assert get_scene_config("janga-smoke").sensors == no5253      # 62
+    assert get_scene_config("rover").sensors == no5253            # 62
+    assert get_scene_config("dust-devil").sensors == no53         # 63
+    assert get_scene_config("astronaut-rotated").sensors == tuple(range(64))
+    assert get_scene_config("tree-2").sensors == tuple(range(64))
+    assert get_scene_config("astronaut-rotated").preview_sensors == (0,)
+    # variants inherit the rig
+    assert get_scene_config("janga-smoke-from-nerf").sensors == no5253
+
+    # normal scene vars do NOT carry the ground-truth volumes for
+    # janga/dust-devil; ref scene vars do (scene_config.py:99-113)
+    j = get_scene_config("janga-smoke")
+    assert "medium_filename" not in j.scene_vars
+    assert j.ref_scene_vars["medium_filename"] == \
+        "volumes/janga-smoke-264-136-136.vol"
+    # astronaut/rover/tree-2 reference a dedicated SURFACE ref scene
+    a = get_scene_config("astronaut-rotated")
+    assert a.ref_xml == "astronaut-rotated/astronaut-rotated-ref.xml"
+    assert a.ref_integrator == "path"
+    assert "medium_filename" in a.scene_vars
+
+    # procedural stand-ins carry the rig (64-camera builders)
+    b = j.build()
+    assert b.sensors == no5253
+    assert b.cameras.n_sensors == 64
+
+
+def test_sample_batch_pixels_sensor_subset():
+    """Batches draw only from the calibrated subset and return absolute
+    sensor ids (reference optimize.py:344)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from uivr_tpu.render import sample_batch_pixels
+    sensors = tuple(i for i in range(64) if i not in (52, 53))
+    si, px = sample_batch_pixels(jnp.uint32(9), 64, (32, 32), 4096,
+                                 sensors=sensors)
+    si = np.asarray(si)
+    assert 52 not in si and 53 not in si
+    assert set(np.unique(si)).issubset(set(sensors))
+    # roughly uniform over the subset
+    counts = np.bincount(si, minlength=64)[list(sensors)]
+    assert counts.min() > 0.4 * counts.mean()

@@ -130,21 +130,35 @@ def main(argv=None):
     from ..opt import render_references
     from ..render import RenderSettings
     ref_spp = args.ref_spp or scene_preset.ref_spp
+    # Reference images render from the REF scene (ground-truth volumes /
+    # dedicated ref file — reference load_scene(reference=True),
+    # optimize.py:15-19) and only for the scene's calibrated sensor subset
+    # (scene_config.sensors; optimize.py:61).
+    ref_bundle = scene_preset.build_ref()
     # Reference images run with stock Russian roulette (the reference builds
     # its ref integrator via mi.load_dict with only max_depth set, so
     # Mitsuba's rr_depth=5 default applies — optimize.py:27-30).  Training
     # integrators keep rr_depth = max_depth + 1000 (opt_config.py:104-106).
     from dataclasses import replace as _dc_replace
-    ref_int = get_int_config(scene_preset.ref_integrator).create(
+    ref_int_name = scene_preset.ref_integrator
+    if ref_int_name == "path":
+        # astronaut/rover/tree-2 reference a SURFACE ref scene; on the
+        # procedural volume stand-in, the physically-based volume tracer is
+        # the faithful substitute (build_ref raises if the real surface
+        # asset is present — PARITY.md)
+        ref_int_name = "volpathsimple-basic"
+    ref_int = get_int_config(ref_int_name).create(
         max_depth=scene_preset.max_depth)
     if hasattr(ref_int, "rr_depth"):
         ref_int = _dc_replace(ref_int, rr_depth=5)
     ref_settings = RenderSettings(
-        integrator=ref_int, medium=bundle.medium_cfg,
-        film_size=bundle.film_size, spp=ref_spp, spp_grad=ref_spp)
+        integrator=ref_int, medium=ref_bundle.medium_cfg,
+        film_size=ref_bundle.film_size, spp=ref_spp, spp_grad=ref_spp)
     ref_images = render_references(
-        bundle, ref_settings, join(args.outputs, args.config, "references"),
-        spp=ref_spp)
+        ref_bundle, ref_settings,
+        join(args.outputs, args.config, "references"),
+        spp=ref_spp,
+        sensors=(list(ref_bundle.sensors) if ref_bundle.sensors else None))
 
     for int_name in args.integrator:
         preset = get_int_config(int_name)

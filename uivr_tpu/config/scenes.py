@@ -31,6 +31,12 @@ class SceneBundle:
     max_depth: int = 64
     max_density: float = 250.0
     start_from: Optional[MediumParams] = None   # optimization initialization
+    # Calibrated sensor-rig subsets (reference SceneConfig.sensors /
+    # preview_sensors, scene_config.py:15,28): training batches and
+    # reference renders draw only from `sensors` (None = all cameras);
+    # previews render `preview_sensors` (None = first of `sensors`).
+    sensors: Optional[Tuple[int, ...]] = None
+    preview_sensors: Optional[Tuple[int, ...]] = None
 
 
 def cube_test_grids():

@@ -182,9 +182,13 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
     step_fn = _make_step(opt, settings, bundle, mesh)
 
     n_sensors = bundle.cameras.n_sensors
+    sensors = bundle.sensors            # calibrated subset (None = all)
     metrics_path = join(output_dir, "metrics.jsonl")
     metrics_f = open(metrics_path, "a")
-    preview_sensors = [0]
+    # reference SceneConfig.preview_sensors semantics (scene_config.py:63):
+    # defaults to the first TRAINING sensor
+    preview_sensors = list(bundle.preview_sensors
+                           or (bundle.sensors[:1] if bundle.sensors else [0]))
     preview_settings = RenderSettings(
         integrator=int_cfg, medium=bundle.medium_cfg,
         film_size=bundle.film_size,
@@ -268,7 +272,7 @@ def run_optimization(output_dir: str, opt: OptimizationConfig,
             seed_grad, _ = sample_tea_32(2 * it + 1, opt.base_seed)
             sensor_idx, pixels = sample_batch_pixels(
                 jnp.uint32(seed), n_sensors, bundle.film_size,
-                opt.batch_size)
+                opt.batch_size, sensors=sensors)
             ref = gather_ref_values(ref_images, sensor_idx, pixels)
             params, opt_state, loss_val = step_fn(
                 params, opt_state, bundle.emitter, bundle.cameras,
@@ -370,6 +374,7 @@ def _make_chunk(opt: OptimizationConfig, settings: RenderSettings,
     max_density = bundle.max_density
     opt_step = adam_step if opt.opt_type == "adam" else sgd_step
     n_sensors = bundle.cameras.n_sensors
+    sensors = bundle.sensors
     base_seed = jnp.uint32(opt.base_seed)
 
     @jax.jit
@@ -380,7 +385,8 @@ def _make_chunk(opt: OptimizationConfig, settings: RenderSettings,
             seed_grad, _ = sample_tea_32(jnp.uint32(2) * it + jnp.uint32(1),
                                          base_seed)
             sensor_idx, pixels = sample_batch_pixels(
-                seed, n_sensors, bundle.film_size, opt.batch_size)
+                seed, n_sensors, bundle.film_size, opt.batch_size,
+                sensors=sensors)
             ref = gather_ref_values(ref_images, sensor_idx, pixels)
 
             def f(p):

@@ -45,15 +45,24 @@ IntegratorConfig = Union[NerfConfig, VolpathConfig]
 
 
 def sample_batch_pixels(seed, n_sensors: int, film_size: Tuple[int, int],
-                        batch_size: int):
+                        batch_size: int, sensors=None):
     """Draw (sensor, pixel) pairs for one batch (reference
     sample_batch_pixels, batched.py:397-423). Returns
-    (sensor_idx (B,) i32, pixels (B, 2) i32 with (x, y))."""
+    (sensor_idx (B,) i32, pixels (B, 2) i32 with (x, y)).
+
+    ``sensors``: optional calibrated sensor-index subset — batches draw
+    uniformly from the SUBSET and return absolute sensor ids (the
+    reference's scene_config.sensors indexing, optimize.py:344)."""
+    if sensors is not None:
+        sensors = jnp.asarray(sensors, jnp.int32)
+        n_sensors = int(sensors.shape[0])
     sub_seed, _ = sample_tea_32(seed, 5)
     s = make_sampler(sub_seed, n_lanes=batch_size)
     u1, s = next_2d(s)
     sensor_idx = jnp.minimum((u1[:, 0] * n_sensors).astype(jnp.int32),
                              n_sensors - 1)
+    if sensors is not None:
+        sensor_idx = sensors[sensor_idx]
     u2, s = next_2d(s)
     fs = jnp.array(film_size, jnp.float32)
     pixels = jnp.minimum((u2 * fs).astype(jnp.int32),
