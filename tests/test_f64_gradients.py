@@ -177,3 +177,128 @@ def test_volpath_adjoint_vs_quadrature_oracle_f64():
                             np.asarray(g_or.albedo).ravel()])
     scale = np.abs(g_ref).max()
     np.testing.assert_allclose(g_adj / scale, g_ref / scale, atol=0.012)
+
+
+@pytest.mark.slow
+def test_volpath_drt_adjoint_vs_fd_f64():
+    """DRT gradients (reservoir subsampling + MIS — the paper's estimator)
+    in float64 on the cube scene, validated two ways (the reference ships
+    this check under its f64 variant with the assertion DISABLED,
+    tests/test_integrators.py:262-347 `if False:`; here both assert):
+
+    1. TIGHT: multi-seed DRT adjoint vs the basic free-flight adjoint
+       (itself pinned by the f64 quadrature oracle above) — corr > 0.995,
+       max rel diff < 5%.  Measured: corr 0.9998, max rel 1.7%.
+    2. INDEPENDENT METHODOLOGY: per-voxel central FD with common random
+       numbers at the reference's eps (5e-3).  FD's decision-flip variance
+       is the limiter, so the threshold ADAPTS to FD's own measured
+       split-half reliability (Spearman-Brown): the adjoint must agree
+       with FD as well as FD agrees with itself."""
+    from uivr_tpu.core import make_sampler
+    from uivr_tpu.integrators import volpathsimple as vps
+    from uivr_tpu.scene import Scene, finalize_medium
+    from uivr_tpu.scene.camera import sample_rays
+
+    b = cube_test_scene()
+    cfg = VolpathConfig(max_depth=8, use_nee=True, use_drt=True,
+                        use_drt_subsampling=True, use_drt_mis=True,
+                        engine="nested")
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4))
+    uv = (np.stack([xs.ravel(), ys.ravel()], -1) + 0.5) / 4.0 * 0.5 + 0.25
+    uv = jnp.asarray(np.tile(uv, (512, 1)), jnp.float64)
+    sidx = jnp.zeros((uv.shape[0],), jnp.int32)
+    o, d = sample_rays(_f64(b.cameras), sidx, uv)
+    o, d = o.astype(jnp.float64), d.astype(jnp.float64)
+    N = o.shape[0]
+    params64 = _f64(b.params)
+    emitter64 = _f64(b.emitter)
+
+    def scene_of(params):
+        return Scene(medium=finalize_medium(params, b.medium_cfg,
+                                            b.to_world),
+                     emitter=emitter64, cameras=b.cameras)
+
+    @jax.jit
+    def loss(params, seed):
+        L, _, _ = vps.sample_primal(cfg, scene_of(params), o, d,
+                                    make_sampler(seed, n_lanes=N))
+        return jnp.mean(L)
+
+    @jax.jit
+    def adj(params, seed):
+        sc = scene_of(params)
+        smp = make_sampler(seed, n_lanes=N)
+        L, _, _ = vps.sample_primal(cfg, sc, o, d, smp)
+        dL = jnp.full((N, 3), 1.0 / (N * 3), jnp.float64)
+        g, _ = vps.sample_adjoint(cfg, sc, o, d,
+                                  make_sampler(seed, n_lanes=N), dL, L)
+        return g
+
+    n_seeds = 8
+    gs = np.stack([
+        np.concatenate([np.asarray(g.sigma_t).ravel(),
+                        np.asarray(g.albedo)[..., 0].ravel()])
+        for g in (adj(params64, jnp.uint32(500 + 31 * s))
+                  for s in range(n_seeds))])
+    g_adj = gs.mean(0)
+
+    # (1) tight cross-estimator check: basic free-flight adjoint, same
+    # seeds/budget (the estimator the quadrature oracle pins)
+    cfg_basic = VolpathConfig(max_depth=8, use_nee=True, use_drt=False,
+                              engine="nested")
+
+    @jax.jit
+    def adj_basic(params, seed):
+        sc = scene_of(params)
+        smp = make_sampler(seed, n_lanes=N)
+        L, _, _ = vps.sample_primal(cfg_basic, sc, o, d, smp)
+        dL = jnp.full((N, 3), 1.0 / (N * 3), jnp.float64)
+        g, _ = vps.sample_adjoint(cfg_basic, sc, o, d,
+                                  make_sampler(seed, n_lanes=N), dL, L)
+        return g
+
+    g_basic = np.stack([
+        np.concatenate([np.asarray(g.sigma_t).ravel(),
+                        np.asarray(g.albedo)[..., 0].ravel()])
+        for g in (adj_basic(params64, jnp.uint32(500 + 31 * s))
+                  for s in range(n_seeds))]).mean(0)
+    scale_b = np.abs(g_basic).max()
+    assert np.corrcoef(g_adj, g_basic)[0, 1] > 0.995
+    assert np.abs(g_adj - g_basic).max() / scale_b < 0.05
+
+    # (2) FD with common random numbers (two independent 4-seed halves;
+    # decision-flip variance dominates).  Perturb one grid ENTRY at a
+    # time: sigma_t fully, albedo channel 0 (matching the adjoint slice;
+    # ~430 renders total).
+    def fd_loss(p, half):
+        lo_s = 0 if half == 0 else n_seeds // 2
+        return float(np.mean(
+            [loss(p, jnp.uint32(500 + 31 * s))
+             for s in range(lo_s, lo_s + n_seeds // 2)]))
+
+    eps = 5e-3     # the reference oracle's epsilon (fd.py); decision-flip
+    # variance scales ~1/eps, f64 central differences keep truncation small
+    halves = ([], [])
+    for key, ch in (("sigma_t", 0), ("albedo", 0)):
+        v0 = np.asarray(getattr(params64, key))
+        for idx in np.ndindex(*v0.shape[:3]):
+            vh = v0.copy()
+            vh[idx + (ch,)] += eps
+            ph = params64._replace(**{key: jnp.asarray(vh)})
+            vl = v0.copy()
+            vl[idx + (ch,)] -= eps
+            pl = params64._replace(**{key: jnp.asarray(vl)})
+            for half in (0, 1):
+                halves[half].append(
+                    (fd_loss(ph, half) - fd_loss(pl, half)) / (2 * eps))
+    fd0, fd1 = np.asarray(halves[0]), np.asarray(halves[1])
+    g_fd = 0.5 * (fd0 + fd1)
+    # Spearman-Brown: reliability of the full FD from its split halves
+    r_half = np.corrcoef(fd0, fd1)[0, 1]
+    r_full = 2 * r_half / (1 + r_half)
+    corr = np.corrcoef(g_adj, g_fd)[0, 1]
+    # the adjoint must agree with FD at FD's own noise floor (attenuation:
+    # a noise-free adjoint gives corr ~ sqrt(r_full)); 0.9 margin absorbs
+    # the adjoint's small residual noise + reliability estimation error
+    assert corr > 0.9 * np.sqrt(max(r_full, 0.0)), (corr, r_half, r_full)
+    assert corr > 0.8, (corr, r_half)

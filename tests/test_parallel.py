@@ -137,3 +137,69 @@ def test_sharded_pallas_engine_interpret():
     # tests/test_pallas_kernel.py at schedule=None); this test pins the
     # shard_map composition, finiteness, and same-ballpark gradients
     assert num / max(den, 1e-12) < 0.25, num / den
+
+
+@pytest.mark.slow
+def test_sharded_grads_match_single_device_production_shape():
+    """VERDICT r2 item 9: DRT + NEE + reservoir + shadow-RR at max_depth 16
+    with >= 1024 primal lanes/shard — the sharded step's gradients must be
+    statistically consistent with the UNSHARDED step on the same batch
+    (different seed decorrelation per shard, so means are compared)."""
+    bundle = smoke_scene(res=16, resx=32, resy=32, n_sensors=4)
+    cfg = VolpathConfig(max_depth=16, max_steps=1024, use_nee=True,
+                        use_drt=True, use_drt_subsampling=True,
+                        use_drt_mis=True, shadow_rr=0.05,
+                        trans_grad_samples=2)
+    settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
+                              film_size=bundle.film_size, spp=2, spp_grad=2)
+    render = make_render(settings, bundle.to_world)
+    mesh = make_mesh(8)
+    batch = 4096                    # 512 pixels/shard x 2 spp = 1024 lanes
+    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(3), 4,
+                                             bundle.film_size, batch)
+    ref = jnp.full((batch, 3), 0.25)
+
+    def single(seed):
+        def f(p):
+            img = render(p, bundle.emitter, bundle.cameras, sensor_idx,
+                         pixels, seed, seed + jnp.uint32(1))
+            return losses.l1(img, ref)
+        return jax.value_and_grad(f)(bundle.params)
+
+    vag = sharded_loss_and_grad(mesh, render, losses.l1)
+    params = replicate(mesh, bundle.params)
+    em = replicate(mesh, bundle.emitter)
+    cams = replicate(mesh, bundle.cameras)
+    si, pix, rf = shard_batch(mesh, (sensor_idx, pixels, ref))
+
+    def slabs(g):
+        # per-voxel DRT gradients at this budget are noise-dominated
+        # (SNR << 1: independent seed schedules correlate ~0.08 per voxel)
+        # so the statistical comparison aggregates to z-slab sums, boosting
+        # SNR ~sqrt(256) per slab
+        return np.concatenate([
+            np.asarray(x).reshape(x.shape[0], -1).sum(1) for x in g])
+
+    l1s, g1s, l8s, g8s = [], [], [], []
+    for s in (11, 31, 51, 71):
+        l1, g1 = single(jnp.uint32(s))
+        l8, g8 = jax.jit(vag)(params, em, cams, si, pix, rf,
+                              jnp.uint32(s), jnp.uint32(s + 1))
+        assert np.isfinite(float(l1)) and np.isfinite(float(l8))
+        for x in g8:
+            assert np.isfinite(np.asarray(x)).all()
+        l1s.append(float(l1)); l8s.append(float(l8))
+        g1s.append(slabs(g1))
+        g8s.append(slabs(g8))
+    # seed-averaged losses and slab-aggregated gradients agree within MC
+    # noise (the sharded step decorrelates seeds per shard, so the
+    # realizations are fully independent of the single-device ones)
+    assert abs(np.mean(l8s) - np.mean(l1s)) / max(abs(np.mean(l1s)),
+                                                  1e-9) < 0.05
+    m1, m8 = np.mean(g1s, 0), np.mean(g8s, 0)
+    corr = np.corrcoef(m1, m8)[0, 1]
+    # measured 0.89-0.95 at 4 seeds (slab noise); a sharding bug (sign
+    # flip, double counting, wrong psum) lands near 0
+    assert corr > 0.85, corr
+    rel = np.abs(m1 - m8).sum() / max(np.abs(m1).sum(), 1e-12)
+    assert rel < 0.35, rel

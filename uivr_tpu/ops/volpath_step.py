@@ -1182,9 +1182,17 @@ _EM_MAX_TEXELS = 8192     # largest alias table kept at full res in VMEM
 def _cls_dims(shape) -> Tuple[int, int, int]:
     """Subcell classification grid dims: the smallest power-of-2 factor
     whose uniform-p cell grid fits the UIVR_CLASS_CELLS budget (default
-    4096 = 32 chunk-shuffle rounds per lookup, measured ~0.14 ns/lane;
-    0 disables classification)."""
-    budget = int(os.environ.get("UIVR_CLASS_CELLS", 4096))
+    8192; a 64-chunk lookup costs ~0.27 ns/lane per unroll iteration —
+    measured 4.3 ps/lane per 128-entry shuffle round; 0 disables).
+
+    This is also the two-level answer to the reference's factor-8 majorant
+    on 264^3 XML assets (scene_config.py:110): the WALKING supergrid is
+    auto-coarsened to the kernel's Tm budget (factor 32 -> 9^3 cells), and
+    the extra null collisions a loose majorant produces are resolved
+    in-kernel by this FINE bound grid (factor 16 -> 17^3 = 4913 cells)
+    without the sigma row gather, so the effective per-fetch collision
+    rate tracks the fine grid, not the coarse one."""
+    budget = int(os.environ.get("UIVR_CLASS_CELLS", 8192))
     if budget <= 0:
         return (0, 0, 0)
     from ..core.grids import majorant_dims
@@ -1334,6 +1342,13 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
     if k_cand is None:
         k_cand = int(os.environ.get("UIVR_KCAND", 1))
     n_req = (o if path_state is None else path_state.o_l).shape[0]
+    if (path_state is None and not return_state and k_cand == 1
+            and os.environ.get("UIVR_PERSIST", "0") == "1"
+            and n_req > int(os.environ.get("UIVR_PERSIST_W", 1 << 18))):
+        # persistent-wavefront scheduler (see sample_primal_persistent):
+        # pays off only when the pool exceeds the buffer width
+        return sample_primal_persistent(cfg, scene, o, d, seed,
+                                        interpret=interpret)
     if path_state is None:
         o, d, n = _pad_rays(o, d, n_req)
     else:
@@ -1382,6 +1397,115 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
     if return_state:
         return L, carry.escaped[:n_req], pc
     return L, carry.escaped[:n_req]
+
+
+# ---------------------------------------------------------------------------
+# Persistent wavefront scheduler (round 3)
+# ---------------------------------------------------------------------------
+# Staged compaction leaves throughput on the table in two ways: (a) the
+# stage-0 full-width budget dispatches every lane for as long as the
+# SLOWEST lane of the stage needs, and (b) late narrow stages pay the
+# XLA row gather's latency-bound regime (~105 ns/row at 32k rows vs ~13 at
+# 1M).  The persistent scheduler instead keeps ONE dense buffer of WIDTH
+# lanes (sized where the gather is amortized) and, every `refill_every`
+# dispatches, evicts DONE lanes (applying their _finish contribution into a
+# per-ray output buffer) and installs fresh rays from the pending pool via
+# a cumsum-rank assignment — all static shapes, in-graph.  Realization is
+# IDENTICAL per ray to the aligned engines: lane RNG streams are derived
+# from the RAY id, not the slot, and a refilled lane's first dispatch
+# consumes exactly the priming draws (zero candidate planes make POST a
+# position-preserving no-op).  Remaining stragglers after pool exhaustion
+# finish under the existing staged compaction.
+
+
+def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
+                             width: int = None, refill_every: int = None,
+                             interpret: bool = None):
+    """Persistent-wavefront primal sampler (same estimator/realization as
+    sample_primal_pallas; different dispatch schedule)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_req = o.shape[0]
+    o, d, n = _pad_rays(o, d, n_req)
+    W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 18))
+    W = min(_round_stage(W), n)
+    Rw = W // 128
+    Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 8))
+
+    smp_all = make_lane_sampler(seed, n_lanes=n)
+    h_pool = smp_all.h                                 # (n,) per-RAY streams
+    em_nee = _em_dims(scene)[5]
+    step = _make_step(cfg, scene, Rw, interpret, 1)
+
+    smp0 = LaneSampler(h=h_pool[:W], dim=jnp.zeros((W,), jnp.uint32))
+    pc = pack_carry(_init_carry(scene, o[:W], d[:W], smp0, None), Rw, 1)
+    pc = step(pc, do_post=False)
+    rid0 = jnp.arange(W, dtype=jnp.int32)
+    out0 = jnp.zeros((n + 1, 3), jnp.float32)          # slot n = dropped
+    esc0 = jnp.zeros((n + 1,), bool)
+
+    def flush(pc, rid, out, esc):
+        """Apply _finish to DONE lanes not yet flushed; mark them empty."""
+        carry = unpack_carry(pc, W, 1)
+        fin = (carry.mode == DONE) & (rid >= 0)
+        L = _finish(cfg, scene, carry, nee_emitter=em_nee)
+        idx = jnp.where(fin, rid, n)
+        out = out.at[idx].set(L)
+        esc = esc.at[idx].set(carry.escaped)
+        return jnp.where(fin, -1, rid), out, esc
+
+    def refill(pc, rid, head, out, esc):
+        rid, out, esc = flush(pc, rid, out, esc)
+        done = (unpack_carry(pc, W, 1).mode == DONE)
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        src = head + rank
+        take = done & (src < n)
+        srcc = jnp.clip(src, 0, n - 1)
+        smp_f = LaneSampler(h=h_pool[srcc],
+                            dim=jnp.zeros((W,), jnp.uint32))
+        fresh = pack_carry(_init_carry(scene, o[srcc], d[srcc], smp_f,
+                                       None), Rw, 1)
+        tk = take.reshape(Rw, 128)
+        planes = tuple(jnp.where(tk, f, p)
+                       for f, p in zip(fresh.planes, pc.planes))
+        rid = jnp.where(take, src, rid)
+        head = jnp.minimum(head + jnp.sum(done.astype(jnp.int32)),
+                           jnp.int32(n))
+        return PlanesCarry(planes=planes, it=pc.it), rid, head, out, esc
+
+    it_cap = cfg.max_steps * (n // W + 2)
+
+    def cond(st):
+        pc, rid, head, out, esc = st
+        return (head < n) & (pc.it < it_cap)
+
+    def body(st):
+        pc, rid, head, out, esc = st
+        pc = jax.lax.fori_loop(
+            0, Rf, lambda i, p: step(p, do_post=True), pc)
+        return refill(pc, rid, head, out, esc)
+
+    pc, rid, head, out, esc = jax.lax.while_loop(
+        cond, body, (pc, rid0, jnp.int32(W), out0, esc0))
+
+    # stragglers: staged compaction on the final W-wide buffer (slots are
+    # restored in place by _run_rounds, so rid stays valid)
+    steps = {W: step}
+    sched = _build_sched((0, None, None), W)
+    for sz, _ in sched[1:]:
+        if sz < W and sz % 128 == 0 and sz >= 256 and sz not in steps:
+            steps[sz] = _make_step(cfg, scene, sz // 128, interpret, 1)
+    sched = [sched[0]] + [(sz if sz in steps else W, it)
+                          for sz, it in sched[1:]]
+
+    def step_dispatch(c: PlanesCarry) -> PlanesCarry:
+        return steps[c.planes[0].shape[0] * 128](c, do_post=True)
+
+    pc = _run_rounds(step_dispatch, _planes_take, _planes_put,
+                     lambda c: (c.mode_plane != DONE).reshape(-1),
+                     pc, sched, W, max_iters=it_cap)
+    rid, out, esc = flush(pc, rid, out, esc)
+    return out[:n_req], esc[:n_req]
 
 
 def _static_iso(phase_g) -> bool:

@@ -184,9 +184,10 @@ def transmittance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
         walking = walking & (~done_now) & (tr > 0.0) & (it < max_steps)
         return walking, t, tr, smp, g, it + 1
 
-    g0 = accum if with_adj else jnp.zeros((), jnp.float32)
+    g0 = accum if with_adj else jnp.zeros((), tmax.dtype)
+    # carry dtypes follow tmax (f64 under the x64 validation variant)
     init = (jnp.asarray(active), tmax * 0.0,
-            jnp.where(active, 1.0, 0.0).astype(jnp.float32), sampler, g0,
+            jnp.where(active, 1.0, 0.0).astype(tmax.dtype), sampler, g0,
             jnp.int32(0))
     _, _, tr, sampler, g, _ = jax.lax.while_loop(cond, body, init)
     if with_adj:
@@ -243,7 +244,7 @@ def drt_distance(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
         return walking, t, W, wsum, t_sel, smp, it + 1
 
     init = (jnp.asarray(active), maxt * 0.0,
-            jnp.where(active, 1.0, 0.0).astype(jnp.float32),
+            jnp.where(active, 1.0, 0.0).astype(maxt.dtype),
             maxt * 0.0, maxt * 0.0, sampler, jnp.int32(0))
     _, _, _, wsum, t_sel, sampler, _ = jax.lax.while_loop(cond, body, init)
     found = jnp.asarray(active) & (wsum > 0.0)
