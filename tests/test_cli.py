@@ -103,10 +103,12 @@ def test_sensor_rigs_match_reference():
     assert a.ref_integrator == "path"
     assert "medium_filename" in a.scene_vars
 
-    # procedural stand-ins carry the rig (64-camera builders)
+    # procedural stand-ins keep their historical camera counts, so the
+    # 64-rig subset does NOT apply there (guard in _apply_rig); it binds
+    # when the real 64-sensor XML rig loads
     b = j.build()
-    assert b.sensors == no5253
-    assert b.cameras.n_sensors == 64
+    assert b.cameras.n_sensors == 62
+    assert b.sensors is None
 
 
 def test_sample_batch_pixels_sensor_subset():

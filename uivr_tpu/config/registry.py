@@ -204,7 +204,11 @@ add_scene_config("tiny-cube", builder=cube_test_scene,
                  max_density=20.0)
 # Calibrated 64-camera rig subsets, verbatim from the reference
 # (scene_config.py:114,164,218,270,321): janga/rover skip sensors 52+53,
-# dust-devil skips 53, astronaut/tree-2 train on all 64.
+# dust-devil skips 53, astronaut/tree-2 train on all 64.  They take effect
+# when the real XML assets (64-sensor rigs) load; the PROCEDURAL stand-ins
+# keep their historical camera counts (62/63/61) so round-2 runs resume
+# cleanly, and ScenePreset._apply_rig's validity guard leaves
+# bundle.sensors=None there (train on every stand-in camera).
 _SENS_NO_52_53 = tuple(i for i in range(64) if i not in (52, 53))
 _SENS_NO_53 = tuple(i for i in range(64) if i != 53)
 _SENS_ALL = tuple(range(64))
@@ -216,7 +220,7 @@ add_scene_config("janga-smoke", builder=smoke_scene,
                  sensors=_SENS_NO_52_53,
                  start_from_value={'medium1.sigma_t.data': 0.002, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.005},
                  builder_kwargs={"res": 128, "resx": 180, "resy": 155,
-                                 "n_sensors": 64, "density_scale": 20.0,
+                                 "n_sensors": 62, "density_scale": 20.0,
                                  "seed": 1, "majorant_factor": 16})
 add_scene_config("dust-devil", builder=smoke_scene,
                  scene_xml='dust-devil/dust-devil.xml',
@@ -225,7 +229,7 @@ add_scene_config("dust-devil", builder=smoke_scene,
                  sensors=_SENS_NO_53,
                  start_from_value={'medium1.sigma_t.data': 0.0004, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.001},
                  builder_kwargs={"res": 256, "resx": 155, "resy": 180,
-                                 "n_sensors": 64, "density_scale": 100.0,
+                                 "n_sensors": 63, "density_scale": 100.0,
                                  "seed": 2, "majorant_factor": 32})
 add_scene_config("astronaut-rotated", builder=smoke_scene,
                  scene_xml='astronaut-rotated/astronaut-rotated.xml',
@@ -247,7 +251,7 @@ add_scene_config("rover", builder=smoke_scene,
                  sensors=_SENS_NO_52_53,
                  start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
                  builder_kwargs={"res": 128, "resx": 215, "resy": 180,
-                                 "n_sensors": 64, "density_scale": 2.0,
+                                 "n_sensors": 61, "density_scale": 2.0,
                                  "seed": 4, "majorant_factor": 16})
 add_scene_config("tree-2", builder=smoke_scene,
                  scene_xml='tree-2/tree-2.xml',
