@@ -6,7 +6,8 @@ compares the result statistically against the flat engine on hardware.
 
 Run ON THE TPU:  python -u scripts/tpu_check_bigenv.py
 """
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
