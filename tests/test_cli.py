@@ -126,3 +126,9 @@ def test_sample_batch_pixels_sensor_subset():
     # roughly uniform over the subset
     counts = np.bincount(si, minlength=64)[list(sensors)]
     assert counts.min() > 0.4 * counts.mean()
+
+
+def test_ref_spp_matches_reference_default():
+    """Reference images default to 8192 spp (scene_config.py:24)."""
+    from uivr_tpu.config.registry import get_scene_config
+    assert get_scene_config("janga-smoke").ref_spp == 8192

@@ -85,7 +85,10 @@ class ScenePreset:
     builder: Callable[..., SceneBundle]
     builder_kwargs: Dict = field(default_factory=dict)
     max_depth: int = 64
-    ref_spp: int = 512
+    # reference scene_config.py:24: reference images render at 8192 spp so
+    # production reconstructions are estimator-limited, not reference-noise
+    # limited; smoke runs override via `reproduce --ref-spp`
+    ref_spp: int = 8192
     # integrator used to render the reference images (the reference repo
     # renders refs with the physically-based tracer even for the nerf
     # bootstrap stage — scene_config.py:25 ref_integrator)
