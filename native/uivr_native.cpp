@@ -115,6 +115,7 @@ int hdr_decode_scanlines(const uint8_t* src, int64_t n, int64_t W, int64_t H,
       while (x < W) {
         if (i + 4 > n) return -1;
         if (src[i] == 1 && src[i + 1] == 1 && src[i + 2] == 1 && x > 0) {
+          if (rshift > 24) return -1;  // corrupt: shift would overflow
           int64_t cnt = (int64_t)src[i + 3] << rshift;
           if (x + cnt > W) return -1;
           for (int64_t k = 0; k < cnt; ++k)

@@ -13,7 +13,7 @@ echo "== janga resume $(date)"
 timeout 21000 python -m uivr_tpu.cli.reproduce \
     --config janga-smoke --integrator nerf volpathsimple-drt \
     --scale 0.1 --ref-spp 128 --outputs outputs_r2 \
-    --retries 12 --scan-stride 1 > "$LOG/janga.log" 2>&1
+    --retries 40 --scan-stride 1 > "$LOG/janga.log" 2>&1
 echo "EXIT=$?"
 tail -5 "$LOG/janga.log"
 echo "queue D done $(date)"

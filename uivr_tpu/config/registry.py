@@ -160,6 +160,15 @@ class ScenePreset:
         if xml:
             root = os.environ.get("UIVR_SCENE_DIR", "scenes")
             path = os.path.join(root, xml)
+            if (self.ref_xml and not os.path.exists(path)
+                    and os.path.exists(os.path.join(root, self.scene_xml))):
+                # scene assets present but the DEDICATED ref scene missing:
+                # falling back to build() would render "references" of the
+                # training scene's INITIAL volumes — refuse loudly instead
+                raise FileNotFoundError(
+                    f"{self.name}: reference scene {path} is missing while "
+                    f"{self.scene_xml} exists; references rendered from the "
+                    "training scene would be meaningless")
             if os.path.exists(path):
                 if self.ref_xml and self.ref_integrator == "path":
                     raise NotImplementedError(

@@ -220,8 +220,9 @@ def load_xml_scene(path: str, variables: Dict[str, object] = None,
             film = film or own
         if str(p.get("fov_axis", "x")) == "y":
             # convert to an x-axis fov through the aspect ratio (of this
-            # sensor's own film when present, Mitsuba's default otherwise)
-            fw, fh = own or film or (768, 576)
+            # sensor's own film when present, Mitsuba's default otherwise —
+            # NOT an earlier sensor's film)
+            fw, fh = own or (768, 576)
             fov = np.rad2deg(2 * np.arctan(
                 np.tan(np.deg2rad(fov) / 2) * (fw / fh)))
         cams.append((to_world, fov))

@@ -99,7 +99,11 @@ def read_hdr(path: str) -> np.ndarray:
                     # old-style run marker; CONSECUTIVE markers shift the
                     # count 8 bits further each (Radiance color.c rule for
                     # runs longer than 255 pixels)
+                    if rshift > 24:       # corrupt: count would overflow W
+                        raise ValueError("corrupt old-style RLE run")
                     n = int(px[3]) << rshift
+                    if x + n > W:
+                        raise ValueError("old-style RLE run exceeds width")
                     out[y, x:x + n] = out[y, x - 1]
                     x += n
                     rshift += 8

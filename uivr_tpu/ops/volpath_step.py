@@ -192,6 +192,10 @@ class StepSpec:
     # 81% of MAIN nulls at subcell factor 4 on the bench scene
     # (scripts/dev_classify_probe.py).  0 = classification off.
     Ds: int = 0; Hs: int = 0; Ws: int = 0
+    # primal in-kernel MAIN escape; part of the spec (not an env read at
+    # kernel-trace time) so _make_call's lru_cache cannot serve a stale
+    # kernel after the UIVR_ESC env changes in-process
+    esc: bool = True
     interpret: bool = False
 
     @property
@@ -239,9 +243,14 @@ def build_tables(scene: Scene, em_nee=None,
         # detached like the majorant (a sampling bound, not differentiated);
         # |.| so hi == 0 certifies sigma(p) == 0 exactly, and a 1e-6 margin
         # keeps hi >= trilinear(sigma) under fp rounding of the interpolant
+        # margin must dominate worst-case f32 rounding of the trilinear
+        # evaluation (8-term dot product gamma_8 ~ 9.5e-7 plus the weight
+        # products): 1e-5 leaves ~6x headroom at negligible classification
+        # loss, keeping hi >= computed sigma(p) so a real collision can
+        # never classify null
         hi = build_bound_grid(
             jnp.abs(jax.lax.stop_gradient(m.params.sigma_t)), cls_dims)
-        hi = hi * (m.scale * jnp.float32(1.000001))
+        hi = hi * (m.scale * jnp.float32(1.00001))
         Ts = int(np.prod(cls_dims))
         sc_ = -(-Ts // 128)
         sub = jnp.pad(hi.reshape(-1), (0, sc_ * 128 - Ts)).reshape(sc_, 128)
@@ -835,8 +844,7 @@ def _step_kernel(spec: StepSpec, scal_ref, maj_ref, em_ref, sub_ref, *refs):
     # action for them is flags|=ESC, mode=DONE (the adjoint keeps them in
     # POST for reservoir/transmittance-gradient processing).
     use_cls = spec.Ds > 0 and KC == 1
-    use_esc = (not spec.adjoint) and KC == 1 \
-        and os.environ.get("UIVR_ESC", "1") == "1"
+    use_esc = spec.esc and (not spec.adjoint) and KC == 1
     stopped = ~n_walk
     zf = jnp.zeros_like(nwt)
     esc_acc = jnp.zeros_like(n_walk)
@@ -1256,6 +1264,7 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
                     emitter_kind=ek, em_h=He, em_w_=We, em_fh=fh, em_fw=fw,
                     shadow_rr=cfg.shadow_rr, k_cand=k_cand,
                     Ds=Ds, Hs=Hs, Ws=Ws,
+                    esc=os.environ.get("UIVR_ESC", "1") == "1",
                     interpret=interpret)
     call = _make_call(spec)
     tables = build_tables(scene, em_nee, cls_dims=(Ds, Hs, Ws))
@@ -1324,6 +1333,18 @@ def _build_sched(schedule, n):
     return sched
 
 
+
+def _stage_steps(make, n: int, sched, steps):
+    """Compile step closures for each valid compaction-stage size and remap
+    unsupported sizes to full width (shared by the aligned primal, the
+    adjoint, and the persistent straggler phase)."""
+    for sz, _ in sched[1:]:
+        if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
+            steps[sz] = make(sz // 128)
+    return [sched[0]] + [(sz if sz in steps else n, it)
+                         for sz, it in sched[1:]]
+
+
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
                          schedule=(_SCHED0, None, None), path_state=None,
                          interpret: bool = None, return_state: bool = False,
@@ -1383,12 +1404,9 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
             sched = [max(1, sched[0] // k_cand)] + [
                 (sz, it if it is None else max(1, it // k_cand))
                 for sz, it in sched[1:]]
-        for sz, _ in sched[1:]:
-            if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
-                steps[sz] = _make_step(cfg, scene, sz // 128, interpret,
-                                       k_cand)
-        sched = [sched[0]] + [(sz if sz in steps else n, it)
-                              for sz, it in sched[1:]]
+        sched = _stage_steps(
+            lambda r: _make_step(cfg, scene, r, interpret, k_cand),
+            n, sched, steps)
         pc = _run_rounds(step_dispatch, _planes_take, _planes_put,
                          active_of, pc, sched, n, max_iters=cfg.max_steps)
 
@@ -1491,12 +1509,8 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     # stragglers: staged compaction on the final W-wide buffer (slots are
     # restored in place by _run_rounds, so rid stays valid)
     steps = {W: step}
-    sched = _build_sched((0, None, None), W)
-    for sz, _ in sched[1:]:
-        if sz < W and sz % 128 == 0 and sz >= 256 and sz not in steps:
-            steps[sz] = _make_step(cfg, scene, sz // 128, interpret, 1)
-    sched = [sched[0]] + [(sz if sz in steps else W, it)
-                          for sz, it in sched[1:]]
+    sched = _stage_steps(lambda r: _make_step(cfg, scene, r, interpret, 1),
+                         W, _build_sched((0, None, None), W), steps)
 
     def step_dispatch(c: PlanesCarry) -> PlanesCarry:
         return steps[c.planes[0].shape[0] * 128](c, do_post=True)
@@ -1682,12 +1696,9 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
             return jnp.any(active_of(c)) & (c.it < max_iters)
         ac = jax.lax.while_loop(cond, step_dispatch, ac)
     else:
-        sched = _build_sched(schedule, n)
-        for sz, _ in sched[1:]:
-            if sz < n and sz % 128 == 0 and sz >= 256 and sz not in steps:
-                steps[sz] = _make_adj_step(cfg, scene, sz // 128, interpret)
-        sched = [sched[0]] + [(sz if sz in steps else n, it)
-                              for sz, it in sched[1:]]
+        sched = _stage_steps(
+            lambda r: _make_adj_step(cfg, scene, r, interpret),
+            n, _build_sched(schedule, n), steps)
         ac = _run_rounds(step_dispatch, _adj_take, _adj_put,
                          active_of, ac, sched, n, max_iters=max_iters)
 

@@ -87,6 +87,23 @@ def render_references(bundle: SceneBundle, settings: RenderSettings,
     os.makedirs(out_dir, exist_ok=True)
     n = bundle.cameras.n_sensors
     sensors = sensors if sensors is not None else list(range(n))
+    # sidecar records the spp the cached EXRs were rendered at: a resumed
+    # output dir silently reusing lower-spp references would misattribute
+    # reference noise to the estimator (filenames stay spp-less so existing
+    # runs keep their caches)
+    meta_path = join(out_dir, "_refspp.json")
+    if os.path.isfile(meta_path):
+        try:
+            cached_spp = json.load(open(meta_path)).get("spp")
+            if cached_spp != spp:
+                print(f"[warn] cached references in {out_dir} were rendered "
+                      f"at spp={cached_spp}, run requests spp={spp}; reusing "
+                      "the cache (delete the EXRs to re-render)")
+        except (OSError, ValueError):
+            pass
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"spp": spp}, f)
     W, H = bundle.film_size
     out = np.zeros((n, H, W, 3), np.float32)
     for s in sensors:

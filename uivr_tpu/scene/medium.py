@@ -18,7 +18,7 @@ between frames because directions are not renormalized (core/aabb.py).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
@@ -66,8 +66,11 @@ class MediumConfig:
     # supergrid is 32 chunk-shuffle rounds per lookup, and TIGHTER walking
     # majorants cut the dominant per-collision sigma row gathers now that
     # crossings/classified nulls resolve in-kernel).
-    kernel_majorant_max_cells: int = int(
-        os.environ.get("UIVR_KERNEL_TM", 2048))
+    # default_factory: read the env at INSTANTIATION time so this moves in
+    # lock step with pallas_supported's per-call read even if the var is
+    # set after import
+    kernel_majorant_max_cells: int = field(
+        default_factory=lambda: int(os.environ.get("UIVR_KERNEL_TM", 2048)))
 
 
 class Medium(NamedTuple):
