@@ -1364,10 +1364,14 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
         k_cand = int(os.environ.get("UIVR_KCAND", 1))
     n_req = (o if path_state is None else path_state.o_l).shape[0]
     if (path_state is None and not return_state and k_cand == 1
-            and os.environ.get("UIVR_PERSIST", "0") == "1"
-            and n_req > int(os.environ.get("UIVR_PERSIST_W", 1 << 18))):
+            and os.environ.get("UIVR_PERSIST", "1") == "1"
+            and n_req > int(os.environ.get("UIVR_PERSIST_W", 1 << 16))):
         # persistent-wavefront scheduler (see sample_primal_persistent):
-        # pays off only when the pool exceeds the buffer width
+        # pays off only when the pool exceeds the buffer width.  DEFAULT ON
+        # since the round-3 on-TPU sweep (PLAN.md): W 65536 measured best
+        # (bench iters=4: staged 1.047 -> W 512k 1.425, 256k 1.559,
+        # 128k 1.633, 64k 1.668, 32k 1.667 Mrays/s) — eviction waste
+        # dominates the narrow-gather penalty down to ~64k lanes.
         return sample_primal_persistent(cfg, scene, o, d, seed,
                                         interpret=interpret)
     if path_state is None:
@@ -1445,7 +1449,7 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
         interpret = jax.default_backend() == "cpu"
     n_req = o.shape[0]
     o, d, n = _pad_rays(o, d, n_req)
-    W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 18))
+    W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 16))
     W = min(_round_stage(W), n)
     Rw = W // 128
     Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 8))
