@@ -55,6 +55,35 @@ def test_kernel_adjoint_compaction_exact(smoke):
                                    rtol=1e-5, atol=1e-8)
 
 
+def test_adjoint_persistent_matches_staged(smoke):
+    """Persistent-wavefront adjoint scheduler vs the staged adjoint: lane
+    RNG streams derive from the RAY id and gradients are scatter-added per
+    dispatch, so the gradient realization matches up to FMA path flips;
+    the DRT reservoir collected at eviction must reproduce the staged
+    readout (use_drt + subsampling + NEE + tgs covers every eviction
+    side-channel)."""
+    sc, o, d = smoke
+    n = o.shape[0]
+    cfg = VolpathConfig(max_depth=8, rr_depth=5, trans_grad_samples=2,
+                        use_drt=True, use_drt_subsampling=True,
+                        use_drt_mis=True, shadow_rr=0.05)
+    seed = jnp.uint32(29)
+    rng = np.random.RandomState(5)
+    dL = jnp.asarray(rng.rand(n, 3), jnp.float32) / n
+    Lp, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True)
+    g1 = vk.sample_adjoint_pallas(cfg, sc, o, d, seed, dL, Lp,
+                                  schedule=None, interpret=True)
+    # width < n forces refill cycles + the straggler stage
+    g2 = vk.sample_adjoint_persistent(cfg, sc, o, d, seed, dL, Lp,
+                                      width=512, refill_every=4,
+                                      interpret=True)
+    for a, b in zip((g1.sigma_t, g1.albedo), (g2.sigma_t, g2.albedo)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).sum() / max(np.abs(a).sum(), 1e-12)
+        assert rel < 0.02, rel
+
+
 def test_render_grad_dispatch_pallas():
     """engine='pallas' full value_and_grad through the render op."""
     from uivr_tpu.render import RenderSettings, make_render, \

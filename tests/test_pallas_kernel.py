@@ -53,6 +53,55 @@ def test_kernel_compaction_exact(smoke):
     np.testing.assert_array_equal(np.asarray(La), np.asarray(Lb))
 
 
+def test_persistent_kcand_matches_aligned(smoke):
+    """K-candidate batching composed with the persistent scheduler (round
+    4): a lane participates in every dispatch from install to DONE in both
+    schedulers, so the per-lane K-candidate draw schedule — and hence the
+    realization — matches the aligned k_cand engine ray-for-ray (modulo
+    FMA path flips between differently-shaped programs)."""
+    sc, o, d = smoke
+    cfg = VolpathConfig(max_depth=8, rr_depth=5, shadow_rr=0.05)
+    seed = jnp.uint32(42)
+    La, ea = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                     interpret=True, k_cand=4)
+    Lp, ep = vk.sample_primal_persistent(cfg, sc, o, d, seed, width=512,
+                                         refill_every=4, interpret=True,
+                                         k_cand=4)
+    La, Lp = np.asarray(La), np.asarray(Lp)
+    agree = np.mean(np.all(np.abs(La - Lp) < 1e-5, axis=-1))
+    assert agree > 0.97, agree
+    np.testing.assert_allclose(La.mean(0), Lp.mean(0), rtol=0.05, atol=5e-3)
+    assert np.mean(np.asarray(ea) == np.asarray(ep)) > 0.97
+
+
+def test_persistent_gate_respects_explicit_schedule(smoke, monkeypatch):
+    """sample_primal_pallas must NOT silently reroute an explicit staged
+    schedule through the persistent scheduler (advisor r3 medium): with a
+    tiny UIVR_PERSIST_W every default-schedule call would take the
+    persistent path, so an explicit schedule taking it too would be
+    indistinguishable — assert the two entry points produce the SAME result
+    but that the explicit-schedule call runs the staged code path (they
+    differ in dispatch accounting, observable via monkeypatched counters)."""
+    sc, o, d = smoke
+    cfg = VolpathConfig(max_depth=4, rr_depth=3)
+    seed = jnp.uint32(7)
+    monkeypatch.setenv("UIVR_PERSIST_W", "512")
+    calls = {"persist": 0}
+    orig = vk.sample_primal_persistent
+
+    def spy(*a, **k):
+        calls["persist"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(vk, "sample_primal_persistent", spy)
+    vk.sample_primal_pallas(cfg, sc, o, d, seed,
+                            schedule=(4, (512, 8), (256, None)),
+                            interpret=True)
+    assert calls["persist"] == 0
+    vk.sample_primal_pallas(cfg, sc, o, d, seed, interpret=True)
+    assert calls["persist"] == 1
+
+
 def test_render_dispatch_pallas(smoke):
     """engine='pallas' must flow through the render op (primal) and produce
     an image statistically matching engine='flat'."""

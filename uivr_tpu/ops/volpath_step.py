@@ -1306,6 +1306,13 @@ def _make_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
 # scene at batch 16384 (earlier compaction of the post-mean-event tail).
 _SCHED0 = int(os.environ.get("UIVR_SCHED0", 48))
 
+# Default-schedule sentinel: the persistent-wavefront fast path only
+# replaces the staged scheduler when the caller did NOT ask for a specific
+# schedule (advisor r3: dev/bisect scripts passing explicit staged
+# schedules must measure the schedule they claim) and no UIVR_SCHED
+# override is in force.
+_DEFAULT_SCHEDULE = (_SCHED0, None, None)
+
 
 def _build_sched(schedule, n):
     """Resolve a compaction schedule into [stage0_dispatches, (size, iters),
@@ -1346,7 +1353,7 @@ def _stage_steps(make, n: int, sched, steps):
 
 
 def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
-                         schedule=(_SCHED0, None, None), path_state=None,
+                         schedule=_DEFAULT_SCHEDULE, path_state=None,
                          interpret: bool = None, return_state: bool = False,
                          k_cand: int = None):
     """Drop-in for volpath_flat.sample_primal_compact on supported scenes
@@ -1363,7 +1370,9 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
     if k_cand is None:
         k_cand = int(os.environ.get("UIVR_KCAND", 1))
     n_req = (o if path_state is None else path_state.o_l).shape[0]
-    if (path_state is None and not return_state and k_cand == 1
+    if (path_state is None and not return_state
+            and schedule == _DEFAULT_SCHEDULE
+            and not os.environ.get("UIVR_SCHED")
             and os.environ.get("UIVR_PERSIST", "1") == "1"
             and n_req > int(os.environ.get("UIVR_PERSIST_W", 1 << 16))):
         # persistent-wavefront scheduler (see sample_primal_persistent):
@@ -1371,9 +1380,11 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
         # since the round-3 on-TPU sweep (PLAN.md): W 65536 measured best
         # (bench iters=4: staged 1.047 -> W 512k 1.425, 256k 1.559,
         # 128k 1.633, 64k 1.668, 32k 1.667 Mrays/s) — eviction waste
-        # dominates the narrow-gather penalty down to ~64k lanes.
+        # dominates the narrow-gather penalty down to ~64k lanes.  Only
+        # taken for the DEFAULT schedule: explicit staged schedules (dev
+        # bisects, sweeps) and UIVR_SCHED overrides measure what they name.
         return sample_primal_persistent(cfg, scene, o, d, seed,
-                                        interpret=interpret)
+                                        interpret=interpret, k_cand=k_cand)
     if path_state is None:
         o, d, n = _pad_rays(o, d, n_req)
     else:
@@ -1442,11 +1453,24 @@ def sample_primal_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed,
 
 def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
                              width: int = None, refill_every: int = None,
-                             interpret: bool = None):
+                             interpret: bool = None, k_cand: int = None):
     """Persistent-wavefront primal sampler (same estimator/realization as
-    sample_primal_pallas; different dispatch schedule)."""
+    sample_primal_pallas; different dispatch schedule).  ``k_cand > 1``
+    composes K-candidate event batching with the persistent buffer: each
+    dispatch's POST consumes up to K pre-gathered sigma candidates and PRE
+    emits the next K, so the per-dispatch XLA sigma gather covers K*W rows
+    — amortized even at the narrow persistent widths (W=64k) where a
+    single-candidate gather is latency-bound (~105 ns/row vs ~13 at 1M;
+    PLAN.md round-2/round-4 measurements).  Refilled lanes enter with
+    zeroed candidate planes (kind=0 = invalid), so their first POST is a
+    position-preserving no-op and their PRE consumes exactly the priming
+    draws — per-ray realization is unchanged for k_cand=1 and
+    statistically identical (different deterministic draw schedule) for
+    k_cand>1, same as in the staged scheduler."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if k_cand is None:
+        k_cand = int(os.environ.get("UIVR_KCAND", 1))
     n_req = o.shape[0]
     o, d, n = _pad_rays(o, d, n_req)
     W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 16))
@@ -1457,19 +1481,24 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     smp_all = make_lane_sampler(seed, n_lanes=n)
     h_pool = smp_all.h                                 # (n,) per-RAY streams
     em_nee = _em_dims(scene)[5]
-    step = _make_step(cfg, scene, Rw, interpret, 1)
+    step = _make_step(cfg, scene, Rw, interpret, k_cand)
 
     smp0 = LaneSampler(h=h_pool[:W], dim=jnp.zeros((W,), jnp.uint32))
-    pc = pack_carry(_init_carry(scene, o[:W], d[:W], smp0, None), Rw, 1)
+    pc = pack_carry(_init_carry(scene, o[:W], d[:W], smp0, None), Rw,
+                    k_cand)
     pc = step(pc, do_post=False)
     rid0 = jnp.arange(W, dtype=jnp.int32)
     out0 = jnp.zeros((n + 1, 3), jnp.float32)          # slot n = dropped
     esc0 = jnp.zeros((n + 1,), bool)
 
-    def flush(pc, rid, out, esc):
-        """Apply _finish to DONE lanes not yet flushed; mark them empty."""
-        carry = unpack_carry(pc, W, 1)
-        fin = (carry.mode == DONE) & (rid >= 0)
+    def flush(pc, rid, out, esc, force=False):
+        """Apply _finish to DONE lanes not yet flushed; mark them empty.
+        ``force=True`` (final flush only) also flushes still-active lanes
+        with their truncated contribution — matching what the staged
+        scheduler's _finish does when max_iters truncates a walk (advisor
+        r3: the it_cap safety bound must not silently zero lanes)."""
+        carry = unpack_carry(pc, W, k_cand)
+        fin = (rid >= 0) if force else ((carry.mode == DONE) & (rid >= 0))
         L = _finish(cfg, scene, carry, nee_emitter=em_nee)
         idx = jnp.where(fin, rid, n)
         out = out.at[idx].set(L)
@@ -1478,7 +1507,7 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
 
     def refill(pc, rid, head, out, esc):
         rid, out, esc = flush(pc, rid, out, esc)
-        done = (unpack_carry(pc, W, 1).mode == DONE)
+        done = (unpack_carry(pc, W, k_cand).mode == DONE)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
         src = head + rank
         take = done & (src < n)
@@ -1486,7 +1515,7 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
         smp_f = LaneSampler(h=h_pool[srcc],
                             dim=jnp.zeros((W,), jnp.uint32))
         fresh = pack_carry(_init_carry(scene, o[srcc], d[srcc], smp_f,
-                                       None), Rw, 1)
+                                       None), Rw, k_cand)
         tk = take.reshape(Rw, 128)
         planes = tuple(jnp.where(tk, f, p)
                        for f, p in zip(fresh.planes, pc.planes))
@@ -1495,7 +1524,9 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
                            jnp.int32(n))
         return PlanesCarry(planes=planes, it=pc.it), rid, head, out, esc
 
-    it_cap = cfg.max_steps * (n // W + 2)
+    # Each dispatch covers ~k_cand events, so the dispatch-count safety
+    # bound shrinks accordingly (it counts dispatches, not events).
+    it_cap = -(-cfg.max_steps // k_cand) * (n // W + 2)
 
     def cond(st):
         pc, rid, head, out, esc = st
@@ -1513,8 +1544,14 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     # stragglers: staged compaction on the final W-wide buffer (slots are
     # restored in place by _run_rounds, so rid stays valid)
     steps = {W: step}
-    sched = _stage_steps(lambda r: _make_step(cfg, scene, r, interpret, 1),
-                         W, _build_sched((0, None, None), W), steps)
+    sched = _build_sched((0, None, None), W)
+    if k_cand > 1:
+        sched = [sched[0]] + [(sz, it if it is None else
+                               max(1, it // k_cand))
+                              for sz, it in sched[1:]]
+    sched = _stage_steps(
+        lambda r: _make_step(cfg, scene, r, interpret, k_cand),
+        W, sched, steps)
 
     def step_dispatch(c: PlanesCarry) -> PlanesCarry:
         return steps[c.planes[0].shape[0] * 128](c, do_post=True)
@@ -1522,7 +1559,7 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     pc = _run_rounds(step_dispatch, _planes_take, _planes_put,
                      lambda c: (c.mode_plane != DONE).reshape(-1),
                      pc, sched, W, max_iters=it_cap)
-    rid, out, esc = flush(pc, rid, out, esc)
+    rid, out, esc = flush(pc, rid, out, esc, force=True)
     return out[:n_req], esc[:n_req]
 
 
@@ -1638,7 +1675,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
 
 
 def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
-                          state_in, schedule=(_SCHED0, None, None),
+                          state_in, schedule=_DEFAULT_SCHEDULE,
                           interpret: bool = None, return_state: bool = False):
     """Drop-in for volpath_flat.sample_adjoint on supported scenes: Pallas
     fused step/cotangent kernel + XLA row gather and 1+tgs row scatter-adds
@@ -1651,6 +1688,14 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if (schedule == _DEFAULT_SCHEDULE and not return_state
+            and not os.environ.get("UIVR_SCHED")
+            and os.environ.get("UIVR_PERSIST", "1") == "1"
+            and o.shape[0] > int(os.environ.get("UIVR_PERSIST_W", 1 << 16))):
+        # persistent-wavefront scheduler for the 3-walk adjoint state
+        # machine (round 4): same rationale and gating as the primal's.
+        return sample_adjoint_persistent(cfg, scene, o, d, seed, dL,
+                                         state_in, interpret=interpret)
     m = scene.medium
     n_req = o.shape[0]
     o, d, n = _pad_rays(o, d, n_req)
@@ -1729,4 +1774,172 @@ def sample_adjoint_pallas(cfg: VolpathConfig, scene: Scene, o, d, seed, dL,
                                  engine="pallas")
     if return_state:
         return finalize_accum(acc, m), ac
+    return finalize_accum(acc, m)
+
+
+# Reservoir planes that must be COLLECTED per ray at eviction: the staged
+# adjoint reads them from the final buffer for every lane at once, but the
+# persistent scheduler recycles slots, so a ray's reservoir is scattered
+# into (n,) buffers when its lane is flushed (DRT subsampling only).
+_RES_NAMES = ("rw0", "rw1", "rw2", "rc0", "rc1", "rc2",
+              "rvo0", "rvo1", "rvo2", "rvl0", "rvl1", "rvl2",
+              "rvw0", "rvw1", "rvw2", "rvmaxt", "rvdepth", "rvact")
+
+
+def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
+                              dL, state_in, width: int = None,
+                              refill_every: int = None,
+                              interpret: bool = None):
+    """Persistent-wavefront scheduler for the adjoint's 3-walk
+    (MAIN/SHADOW/REPLAY) state machine — same gradient estimator and
+    per-ray realization as sample_adjoint_pallas, different dispatch
+    schedule.  The adjoint is where eviction waste is worst: walk lengths
+    are up to 3*max_steps with high divergence, so the staged scheduler's
+    full-width stage-0 budget runs every lane for as long as the slowest
+    3-walk needs.  Gradients are scatter-added per dispatch, so eviction
+    only has to collect the DRT reservoir (if subsampling is on); the
+    global accumulator rides the loop carry untouched by refills."""
+    from ..core.rng import lane_fork
+    from ..integrators.volpath_flat import _drt_backward_flat
+    from ..integrators.volpathsimple import _Reservoir, _reservoir_get
+    from ..scene.gradients import finalize_accum, init_accum
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m = scene.medium
+    n_req = o.shape[0]
+    o, d, n = _pad_rays(o, d, n_req)
+    dL = jnp.asarray(dL)
+    state_in = jnp.asarray(state_in)
+    if n != n_req:
+        zpad = jnp.zeros((n - n_req, 3), jnp.float32)
+        dL = jnp.concatenate([dL, zpad], axis=0)
+        state_in = jnp.concatenate([state_in, zpad], axis=0)
+    W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 16))
+    W = min(_round_stage(W), n)
+    Rw = W // 128
+    Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 8))
+
+    smp_all = make_lane_sampler(seed, n_lanes=n)
+    h_pool = smp_all.h                                 # (n,) per-RAY streams
+    alt_pool = lane_fork(smp_all, 0x9E3779B9).h
+    step = _make_adj_step(cfg, scene, Rw, interpret)
+    names = ALL_PLANES + ADJ_PLANES
+    res_on = bool(cfg.use_drt and cfg.use_drt_subsampling)
+    res_idx = [names.index(nm) for nm in _RES_NAMES]
+
+    z = jnp.zeros((Rw, 128), jnp.float32)
+    zi = jnp.zeros((Rw, 128), jnp.int32)
+
+    def fresh_planes(srcc):
+        """N_ADJ planes for rays `srcc` — exactly the init of
+        sample_adjoint_pallas, gathered per source ray (lane RNG streams
+        derive from the RAY id, so realization matches the aligned
+        engine; a refilled lane's first POST is a no-op on its zeroed
+        candidate planes and its PRE consumes the priming draws)."""
+        smp_f = LaneSampler(h=h_pool[srcc],
+                            dim=jnp.zeros((W,), jnp.uint32))
+        carry = _init_carry(scene, o[srcc], d[srcc], smp_f, None)
+        carry = carry._replace(result=state_in[srcc])
+        base = pack_carry(carry, Rw)
+
+        def p(x):
+            return x.reshape(Rw, 128)
+
+        dLs = dL[srcc]
+        return base.planes + (
+            z, z, z, z, z,                       # rpt, rptr, sha0..2
+            p(dLs[:, 0]), p(dLs[:, 1]), p(dLs[:, 2]),
+            z, z, z, z, z, z,                    # rw0..2, rc0..2
+            z, z, z, z, z, z, z, z, z, z,        # rvo, rvl, rvw, rvmaxt
+            p(alt_pool[srcc]).view(jnp.int32), zi,   # alth, altd
+            zi, zi, zi - 1, zi)                  # rpdim, shdim0, rvdepth, rvact
+
+    ac = AdjCarry(planes=fresh_planes(jnp.arange(W, dtype=jnp.int32)),
+                  acc=init_accum(m, vary=jnp.float32(0.0),
+                                 need_emission=False),
+                  it=jnp.int32(0))
+    ac = step(ac, do_post=False)
+    rid0 = jnp.arange(W, dtype=jnp.int32)
+    bufs0 = tuple(
+        jnp.full((n + 1,), -1, jnp.int32) if nm == "rvdepth" else
+        jnp.zeros((n + 1,), jnp.int32 if nm == "rvact" else jnp.float32)
+        for nm in _RES_NAMES) if res_on else ()
+
+    def flush(ac, rid, bufs, force=False):
+        mode = ac.mode_plane.reshape(-1)
+        fin = (rid >= 0) if force else ((mode == DONE) & (rid >= 0))
+        idx = jnp.where(fin, rid, n)
+        if res_on:
+            bufs = tuple(b.at[idx].set(ac.planes[i].reshape(-1))
+                         for b, i in zip(bufs, res_idx))
+        return jnp.where(fin, -1, rid), bufs
+
+    def refill(ac, rid, head, bufs):
+        rid, bufs = flush(ac, rid, bufs)
+        done = ac.mode_plane.reshape(-1) == DONE
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        src = head + rank
+        take = done & (src < n)
+        srcc = jnp.clip(src, 0, n - 1)
+        fresh = fresh_planes(srcc)
+        tk = take.reshape(Rw, 128)
+        planes = tuple(jnp.where(tk, f, p)
+                       for f, p in zip(fresh, ac.planes))
+        rid = jnp.where(take, src, rid)
+        head = jnp.minimum(head + jnp.sum(done.astype(jnp.int32)),
+                           jnp.int32(n))
+        return (AdjCarry(planes=planes, acc=ac.acc, it=ac.it), rid, head,
+                bufs)
+
+    it_cap = 3 * cfg.max_steps * (n // W + 2)
+
+    def cond(st):
+        ac, rid, head, bufs = st
+        return (head < n) & (ac.it < it_cap)
+
+    def body(st):
+        ac, rid, head, bufs = st
+        ac = jax.lax.fori_loop(
+            0, Rf, lambda i, a: step(a, do_post=True), ac)
+        return refill(ac, rid, head, bufs)
+
+    ac, rid, head, bufs = jax.lax.while_loop(
+        cond, body, (ac, rid0, jnp.int32(W), bufs0))
+
+    # stragglers: staged compaction on the final W-wide buffer
+    steps = {W: step}
+    sched = _stage_steps(
+        lambda r: _make_adj_step(cfg, scene, r, interpret),
+        W, _build_sched((0, None, None), W), steps)
+
+    def step_dispatch(c: AdjCarry) -> AdjCarry:
+        return steps[c.planes[0].shape[0] * 128](c, do_post=True)
+
+    ac = _run_rounds(step_dispatch, _adj_take, _adj_put,
+                     lambda c: (c.mode_plane != DONE).reshape(-1),
+                     ac, sched, W, max_iters=it_cap)
+    rid, bufs = flush(ac, rid, bufs, force=True)
+
+    acc = ac.acc
+    if res_on:
+        dd = dict(zip(_RES_NAMES, bufs))
+
+        def u(k):
+            return dd[k][:n]
+
+        def v3(a, b, c):
+            return jnp.stack([u(a), u(b), u(c)], axis=-1)
+
+        res = _Reservoir(wsum=v3("rw0", "rw1", "rw2"),
+                         cur_w=v3("rc0", "rc1", "rc2"),
+                         depth=u("rvdepth"),
+                         o_l=v3("rvo0", "rvo1", "rvo2"),
+                         d_l=v3("rvl0", "rvl1", "rvl2"),
+                         d_w=v3("rvw0", "rvw1", "rvw2"),
+                         maxt=u("rvmaxt"),
+                         active=u("rvact") != 0)
+        w_sub = _reservoir_get(res)
+        acc = _drt_backward_flat(cfg, scene, seed, res, w_sub * dL, acc,
+                                 engine="pallas")
     return finalize_accum(acc, m)
