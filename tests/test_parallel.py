@@ -203,3 +203,21 @@ def test_sharded_grads_match_single_device_production_shape():
     assert corr > 0.85, corr
     rel = np.abs(m1 - m8).sum() / max(np.abs(m1).sum(), 1e-12)
     assert rel < 0.35, rel
+
+
+def test_multihost_two_process_smoke():
+    """Multi-host (DCN) bring-up: two local processes under
+    jax.distributed.initialize form a 4-device global mesh and one sharded
+    step agrees with a single-process control (SURVEY.md §5 distributed
+    backend row; scripts/multihost_smoke.py prints the verdict JSON)."""
+    import json
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/multihost_smoke.py"],
+        capture_output=True, text=True, timeout=900,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k not in ("XLA_FLAGS",)})
+    assert r.returncode == 0, r.stderr[-2000:]
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert verdict["ok"], verdict

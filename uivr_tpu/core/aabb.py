@@ -13,10 +13,16 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
-EPS = jnp.float32(1e-6)
+# numpy scalars, NOT jnp: a module-scope jnp constant materializes a device
+# array at import time, which initializes the XLA backend and breaks
+# jax.distributed.initialize on multi-host bring-up
+# (scripts/multihost_smoke.py).  Semantics under tracing are identical.
+INF = np.float32(np.inf)
+EPS = np.float32(1e-6)
 
 
 class Rays(NamedTuple):

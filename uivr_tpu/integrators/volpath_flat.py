@@ -37,6 +37,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import aabb
 from ..core.rng import (LaneSampler, _to_unit_float, lane_fork, lane_next_1d,
@@ -54,7 +55,9 @@ from .volpathsimple import (PathState, VolpathConfig, _exit_dist, _nee_primal,
                             _reservoir_update)
 
 DONE, MAIN, SHADOW, REPLAY = 0, 1, 2, 3
-_BIG = jnp.float32(1e30)
+# numpy scalar, not jnp: module-scope device arrays initialize the XLA
+# backend at import time, breaking multi-host jax.distributed bring-up
+_BIG = np.float32(1e30)
 
 
 def _cell_step(m, o_l, wd, wt):

@@ -41,12 +41,15 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.rng import Sampler, next_1d
 from ..scene.gradients import GradAccum, scatter_sigma
 from ..scene.medium import Medium, sigma_t_at
 
-_BIG = jnp.float32(1e30)
+# numpy scalar, not jnp: module-scope device arrays initialize the XLA
+# backend at import time, breaking multi-host jax.distributed bring-up
+_BIG = np.float32(1e30)
 
 
 def _cell_exit(m: Medium, ol: jnp.ndarray, dl: jnp.ndarray,
