@@ -38,6 +38,73 @@ def test_reproduce_cli_skips_completed(tmp_path, capsys):
     assert "[skip]" in capsys.readouterr().out
 
 
+def test_reproduce_cli_precomputed_references(tmp_path):
+    """--references DIR drives an optimization from on-disk EXRs instead of
+    rendering them (reference optimize.py:56-71 loads reference bitmaps
+    from paths) — the ingestion path for the surface-scene experiments
+    (astronaut/rover/tree-2) whose refs come from an external path tracer.
+    Also: wrong film size and missing sensors must fail loudly."""
+    import pytest
+    from uivr_tpu.cli import reproduce
+    from uivr_tpu.config import get_scene_config
+    from uivr_tpu.core import exr_io
+    from uivr_tpu.opt import load_references
+    bundle = get_scene_config("tiny-cube").build()
+    W, H = bundle.film_size
+    refs = tmp_path / "refs"
+    refs.mkdir()
+    rng = np.random.RandomState(0)
+    for s in range(bundle.cameras.n_sensors):
+        exr_io.write_exr(str(refs / f"ref_{s:06d}.exr"),
+                         rng.rand(H, W, 3).astype(np.float32) * 0.3)
+    out = str(tmp_path / "o")
+    reproduce.main(["--config", "tiny-cube", "--integrator", "nerf",
+                    "--outputs", out, "--scale", "0.02",
+                    "--references", str(refs)])
+    assert os.path.isfile(os.path.join(
+        out, "tiny-cube", "nerf", "params", "final-medium1_sigma_t.vol"))
+    # validation: a missing sensor fails atomically
+    os.remove(str(refs / "ref_000000.exr"))
+    with pytest.raises(FileNotFoundError):
+        load_references(str(refs), bundle)
+    # validation: film-size mismatch fails loudly
+    exr_io.write_exr(str(refs / "ref_000000.exr"),
+                     np.zeros((H + 2, W, 3), np.float32))
+    with pytest.raises(ValueError):
+        load_references(str(refs), bundle)
+
+
+def test_reference_cache_spp_refresh(tmp_path):
+    """A cached reference dir whose sidecar records a LOWER spp than the
+    run requests must re-render, not warn-and-reuse (advisor r3): the
+    stale-noise leak is only acceptable the other way around."""
+    import json as _json
+    from uivr_tpu.config import get_scene_config
+    from uivr_tpu.opt import render_references
+    from uivr_tpu.render import RenderSettings
+    from uivr_tpu.integrators import NerfConfig
+    bundle = get_scene_config("tiny-cube").build()
+    cfg = NerfConfig()
+    st = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
+                        film_size=bundle.film_size, spp=2, spp_grad=2)
+    out = str(tmp_path / "references")
+    render_references(bundle, st, out, spp=2)
+    t0 = os.path.getmtime(os.path.join(out, "ref_000000.exr"))
+    assert _json.load(open(os.path.join(out, "_refspp.json")))["spp"] == 2
+    # same spp: cache reused
+    render_references(bundle, st, out, spp=2)
+    assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) == t0
+    # higher spp requested: full refresh, sidecar updated
+    render_references(bundle, st, out, spp=4)
+    assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) > t0
+    assert _json.load(open(os.path.join(out, "_refspp.json")))["spp"] == 4
+    # lower spp requested: higher-quality cache reused
+    t1 = os.path.getmtime(os.path.join(out, "ref_000000.exr"))
+    render_references(bundle, st, out, spp=2)
+    assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) == t1
+    assert _json.load(open(os.path.join(out, "_refspp.json")))["spp"] == 4
+
+
 def test_experiment_overrides_match_reference():
     """The per-experiment optimization overrides must mirror the reference's
     reproduce.py:44-247 table: nerf bootstrap stages run at spp 4 with

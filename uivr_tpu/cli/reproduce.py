@@ -78,6 +78,12 @@ def main(argv=None):
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink iters/batch for smoke runs")
     ap.add_argument("--ref-spp", type=int, default=None)
+    ap.add_argument("--references", default=None, metavar="DIR",
+                    help="load precomputed reference EXRs (ref_%%06d.exr "
+                         "per calibrated sensor) instead of rendering "
+                         "them — for surface scenes (astronaut/rover/"
+                         "tree-2) whose references come from an external "
+                         "path tracer (reference optimize.py:56-71)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard over N devices (0 = single device)")
     ap.add_argument("--scan-stride", type=int, default=10,
@@ -127,13 +133,25 @@ def main(argv=None):
     # the reference repo's semantics (scene_config.references,
     # optimize.py:56-71). The nerf bootstrap thus fits the emissive model
     # to physically-based "photographs".
-    from ..opt import render_references
+    from ..opt import load_references, render_references
     from ..render import RenderSettings
     ref_spp = args.ref_spp or scene_preset.ref_spp
     # Reference images render from the REF scene (ground-truth volumes /
     # dedicated ref file — reference load_scene(reference=True),
     # optimize.py:15-19) and only for the scene's calibrated sensor subset
     # (scene_config.sensors; optimize.py:61).
+    if args.references:
+        # precomputed references: validated against the TRAINING bundle's
+        # film/sensor rig (no ref scene build — surface ref scenes are out
+        # of the volume tracer's scope and raise in build_ref)
+        ref_images = load_references(
+            args.references, bundle,
+            sensors=(list(bundle.sensors) if bundle.sensors else None))
+        print(f"[refs] loaded precomputed references from "
+              f"{args.references}")
+        _run_stages(args, scene_preset, bundle, ref_images,
+                    args.ref_spp or scene_preset.ref_spp, mesh)
+        return
     ref_bundle = scene_preset.build_ref()
     # Reference images run with stock Russian roulette (the reference builds
     # its ref integrator via mi.load_dict with only max_depth set, so
@@ -160,6 +178,12 @@ def main(argv=None):
         spp=ref_spp,
         sensors=(list(ref_bundle.sensors) if ref_bundle.sensors else None))
 
+    _run_stages(args, scene_preset, bundle, ref_images, ref_spp, mesh)
+
+
+def _run_stages(args, scene_preset, bundle, ref_images, ref_spp, mesh):
+    """Run every requested integrator stage (two-stage warm-started
+    pipeline, reference reproduce.py:45-59)."""
     for int_name in args.integrator:
         preset = get_int_config(int_name)
         out_dir = join(args.outputs, args.config, int_name)

@@ -1,6 +1,7 @@
 from . import losses  # noqa: F401
 from .loop import (  # noqa: F401
-    OptimizationConfig, gather_ref_values, load_checkpoint, render_references,
+    OptimizationConfig, gather_ref_values, load_checkpoint, load_references,
+    render_references,
     run_optimization, save_checkpoint,
 )
 from .optimizer import AdamState, adam_init, adam_step, reset_state_like, sgd_step  # noqa: F401

@@ -92,18 +92,30 @@ def render_references(bundle: SceneBundle, settings: RenderSettings,
     # reference noise to the estimator (filenames stay spp-less so existing
     # runs keep their caches)
     meta_path = join(out_dir, "_refspp.json")
+    cached_spp = None
     if os.path.isfile(meta_path):
         try:
             cached_spp = json.load(open(meta_path)).get("spp")
-            if cached_spp != spp:
-                print(f"[warn] cached references in {out_dir} were rendered "
-                      f"at spp={cached_spp}, run requests spp={spp}; reusing "
-                      "the cache (delete the EXRs to re-render)")
         except (OSError, ValueError):
-            pass
-    else:
-        with open(meta_path, "w") as f:
-            json.dump({"spp": spp}, f)
+            cached_spp = None
+    if cached_spp is None or cached_spp < spp:
+        # LOWER-spp (or unknown-provenance) caches re-render: silently
+        # reusing them would feed reference noise into the reconstruction
+        # (advisor r3; the reference renders at 8192 spp,
+        # scene_config.py:24).  The sidecar is removed first and rewritten
+        # only after every frame is re-rendered, so an interrupted refresh
+        # re-renders on resume instead of trusting a mixed cache.
+        if any(os.path.isfile(join(out_dir, f"ref_{s:06d}.exr"))
+               for s in sensors):
+            print(f"[refs] cache in {out_dir} is spp={cached_spp}, run "
+                  f"requests spp={spp}: re-rendering all references")
+            overwrite = True
+        if os.path.isfile(meta_path):
+            os.remove(meta_path)
+    elif cached_spp > spp:
+        print(f"[refs] reusing cached references at spp={cached_spp} "
+              f">= requested {spp}")
+        spp = cached_spp
     W, H = bundle.film_size
     out = np.zeros((n, H, W, 3), np.float32)
     for s in sensors:
@@ -116,6 +128,42 @@ def render_references(bundle: SceneBundle, settings: RenderSettings,
                                medium_to_world=bundle.to_world)
             exr_io.write_exr(fname, img)
             out[s] = img
+    with open(meta_path, "w") as f:
+        json.dump({"spp": spp}, f)
+    return out
+
+
+def load_references(ref_dir: str, bundle: SceneBundle,
+                    sensors: Optional[List[int]] = None) -> np.ndarray:
+    """Load externally produced reference EXRs (reference
+    get_reference_image_paths + mi.Bitmap loading, optimize.py:56-71):
+    ``ref_dir`` holds one ``ref_%06d.exr`` per calibrated sensor — this is
+    how surface-scene experiments (astronaut/rover/tree-2, whose reference
+    images come from a `path` integrator over surface geometry the volume
+    tracer is out of scope for) are driven from precomputed references.
+    Validates film size and sensor coverage loudly."""
+    n = bundle.cameras.n_sensors
+    sensors = sensors if sensors is not None else list(range(n))
+    W, H = bundle.film_size
+    out = np.zeros((n, H, W, 3), np.float32)
+    missing = []
+    for s in sensors:
+        fname = join(ref_dir, f"ref_{s:06d}.exr")
+        if not os.path.isfile(fname):
+            missing.append(s)
+            continue
+        img = exr_io.read_exr(fname)
+        if img.shape != (H, W, 3):
+            raise ValueError(
+                f"{fname}: reference image is {img.shape}, scene film is "
+                f"{(H, W, 3)} — --references must match the film size")
+    # second pass only after validation so a partial dir fails atomically
+    if missing:
+        raise FileNotFoundError(
+            f"--references {ref_dir}: missing ref images for sensors "
+            f"{missing} (need ref_%06d.exr for every calibrated sensor)")
+    for s in sensors:
+        out[s] = exr_io.read_exr(join(ref_dir, f"ref_{s:06d}.exr"))
     return out
 
 
