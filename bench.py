@@ -314,6 +314,28 @@ def measure(parity: bool):
         "unit": "Mrays/s",
         "vs_baseline": round(per_chip / 62.5, 4),
     }
+    if os.environ.get("BENCH_SPLIT", "0") == "1" and n_dev == 1:
+        # fwd/bwd share (VERDICT r3 next 2): time the PRIMAL-ONLY renders
+        # of the same iteration batch; bwd share = 1 - t_primal/t_full.
+        # Extra compile (~minutes on the relay), so opt-in.
+        @jax.jit
+        def primal_iters(params):
+            def body(acc, seed):
+                si, px = sample_batch_pixels(seed, 16, bundle.film_size,
+                                             batch)
+                img = render(params, bundle.emitter, bundle.cameras, si, px,
+                             2 * seed, 2 * seed + 1)
+                return acc + img.sum(), None
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                jnp.arange(1, iters + 1, dtype=jnp.uint32))
+            return acc
+        float(primal_iters(params))          # compile + warmup
+        t0 = time.time()
+        float(primal_iters(params))
+        t_primal = time.time() - t0
+        rec["fwd_share"] = round(t_primal / dt, 3)
+        rec["bwd_share"] = round(1.0 - t_primal / dt, 3)
     if n_dev > 1:
         # scaling-efficiency harness fields (target >= 85% per BASELINE.md):
         # efficiency = per-chip multi-dev throughput / single-chip record

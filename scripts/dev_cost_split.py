@@ -33,7 +33,8 @@ def timeit(name, f, *args, reps=20):
 
 
 def main():
-    n = 262144
+    import os
+    n = int(os.environ.get("N", 262144))
     R = n // 128
     b = smoke_scene(res=64, resx=128, resy=128, n_sensors=4)
     m = finalize_medium(b.params, b.medium_cfg, b.to_world)
@@ -86,6 +87,34 @@ def main():
     def kern_pre(pc):
         return step(pc, do_post=False)
     timeit("b kernel (pre-only path, incl zero-gather)", kern_pre, pc)
+
+    # ---- IN-GRAPH loops: the relay host round-trip (~ms) contaminates
+    # the standalone numbers above at narrow widths; loop L dispatches
+    # inside one program and divide.
+    L = 64
+
+    @jax.jit
+    def g_loop(px, py, pz):
+        def body(i, c):
+            px, py, pz = c
+            s, a0, a1, a2 = vk._sigma_albedo_planes(m, px, py, pz)
+            # data dependency chains iterations; keeps values in [0,1)
+            px = (px + s * 1e-7) % 1.0
+            py = (py + a0 * 1e-7) % 1.0
+            pz = (pz + a1 * 1e-7) % 1.0
+            return (px, py, pz)
+        return jax.lax.fori_loop(0, L, body, (px, py, pz))
+    dg = timeit("d in-graph gather loop", g_loop, px, py, pz, reps=5)
+
+    @jax.jit
+    def s_loop(pc):
+        return jax.lax.fori_loop(
+            0, L, lambda i, c: step(c, do_post=True), pc)
+    ds = timeit("e in-graph step loop", s_loop, pc, reps=5)
+    print(f"per-dispatch: gather {dg/L*1e3:.3f} ms "
+          f"({dg/L/n*1e9:.1f} ns/lane), full step {ds/L*1e3:.3f} ms "
+          f"({ds/L/n*1e9:.1f} ns/lane), kernel-part "
+          f"{(ds-dg)/L*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

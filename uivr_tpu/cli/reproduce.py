@@ -77,6 +77,10 @@ def main(argv=None):
     ap.add_argument("--outputs", default="outputs")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink iters/batch for smoke runs")
+    ap.add_argument("--film-scale", type=float, default=1.0,
+                    help="scale the film resolution (same cameras/fov; "
+                         "shrinks reference-render and preview cost for "
+                         "smoke runs of the 720x620-film XML scenes)")
     ap.add_argument("--ref-spp", type=int, default=None)
     ap.add_argument("--references", default=None, metavar="DIR",
                     help="load precomputed reference EXRs (ref_%%06d.exr "
@@ -123,6 +127,15 @@ def main(argv=None):
 
     scene_preset = get_scene_config(args.config)
     bundle = scene_preset.build()
+
+    def _scale_film(b):
+        if args.film_scale != 1.0:
+            W, H = b.film_size
+            b.film_size = (max(16, int(W * args.film_scale)),
+                           max(16, int(H * args.film_scale)))
+        return b
+
+    bundle = _scale_film(bundle)
     mesh = None
     if args.mesh:
         from ..parallel import make_mesh
@@ -152,7 +165,7 @@ def main(argv=None):
         _run_stages(args, scene_preset, bundle, ref_images,
                     args.ref_spp or scene_preset.ref_spp, mesh)
         return
-    ref_bundle = scene_preset.build_ref()
+    ref_bundle = _scale_film(scene_preset.build_ref())
     # Reference images run with stock Russian roulette (the reference builds
     # its ref integrator via mi.load_dict with only max_depth set, so
     # Mitsuba's rr_depth=5 default applies — optimize.py:27-30).  Training
