@@ -116,6 +116,89 @@ def main():
           f"({ds/L/n*1e9:.1f} ns/lane), kernel-part "
           f"{(ds-dg)/L*1e3:.3f} ms", flush=True)
 
+    # ---- g: ADJOINT in-graph step loop + isolated scatter cost (the
+    # parity bench's bwd share is 73%: is it the 1+tgs scatter ROWS per
+    # dispatch, the gather, or the 3-walk kernel?)
+    from uivr_tpu.core.rng import lane_fork
+    from uivr_tpu.scene.gradients import init_accum, scatter_sigma_albedo
+    cfg_a = VolpathConfig(max_depth=32, rr_depth=1064, engine="pallas",
+                          trans_grad_samples=4)
+    astep = vk._make_adj_step(cfg_a, sc, R, interpret=False)
+    smp = vk.make_lane_sampler(jnp.uint32(3), n_lanes=n)
+    carry0 = vk._init_carry(sc, o, d, smp, None)
+    carry0 = carry0._replace(result=jnp.zeros((n, 3), jnp.float32))
+    base = vk.pack_carry(carry0, R)
+    alt = lane_fork(smp, 0x9E3779B9)
+    z = jnp.zeros((R, 128), jnp.float32)
+    zi = jnp.zeros((R, 128), jnp.int32)
+
+    def p2(x):
+        return x.reshape(R, 128)
+
+    dL = jnp.full((n, 3), 1e-4, jnp.float32)
+    adj_planes = (
+        z, z, z, z, z,
+        p2(dL[:, 0]), p2(dL[:, 1]), p2(dL[:, 2]),
+        z, z, z, z, z, z,
+        z, z, z, z, z, z, z, z, z, z,
+        p2(alt.h).view(jnp.int32), zi,
+        zi, zi, zi - 1, zi)
+    ac0 = vk.AdjCarry(planes=base.planes + adj_planes,
+                      acc=init_accum(m, vary=jnp.float32(0.0),
+                                     need_emission=False),
+                      it=jnp.int32(0))
+
+    @jax.jit
+    def a_loop(ac):
+        ac = astep(ac, do_post=False)
+        return jax.lax.fori_loop(
+            0, L, lambda i, c: astep(c, do_post=True), ac)
+    da = timeit("g in-graph ADJOINT step loop", a_loop, ac0, reps=3)
+    print(f"   -> {da/L*1e3:.3f} ms/dispatch ({da/L/n*1e9:.1f} ns/lane)",
+          flush=True)
+
+    # isolated (1+tgs)-row scatter-add at dispatch width
+    ps5 = jnp.concatenate([jnp.stack([px.reshape(n), py.reshape(n),
+                                      pz.reshape(n)], -1)] * 5)
+    cs5 = jnp.concatenate([px.reshape(n)] * 5) * 1e-6
+    ca5 = jnp.zeros((5 * n, 3), jnp.float32)
+
+    @jax.jit
+    def sc_loop(ps):
+        def body(i, st):
+            ps, acc = st
+            acc = scatter_sigma_albedo(acc, m, ps, cs5, ca5, None)
+            return (ps + 1e-9, acc)
+        return jax.lax.fori_loop(
+            0, L, body, (ps, init_accum(m, vary=jnp.float32(0.0),
+                                        need_emission=False)))
+    dsc = timeit("h in-graph 5-row scatter loop", sc_loop, ps5, reps=3)
+    print(f"   -> {dsc/L*1e3:.3f} ms/dispatch "
+          f"({dsc/L/n*1e9:.1f} ns/lane over {5}x rows)", flush=True)
+
+    # ---- f: raw row gather cost vs ROW WIDTH, in-graph (does fetching a
+    # 128-float block-row cost more than an 8-float row?  If not, fetching
+    # per-supercell corner BLOCKS on entry instead of per-event rows pays
+    # whenever entries/lane < events/lane).
+    for w in (8, 32, 128):
+        tabw = jnp.asarray(
+            np.random.RandomState(1).rand(262144, w), jnp.float32)
+
+        @jax.jit
+        def w_loop(ix):
+            def body(i, ix):
+                rows = tabw[ix]                       # (n, w) row gather
+                return (ix + rows[:, :1].astype(jnp.int32)[:, 0]
+                        + 1) % tabw.shape[0]
+            return jax.lax.fori_loop(
+                0, L, body, ix)
+        ix0 = jnp.asarray(
+            np.random.RandomState(2).randint(0, 262144, n), jnp.int32)
+        dw = timeit(f"f in-graph raw row gather w={w}", w_loop, ix0,
+                    reps=5)
+        print(f"   -> {dw/L*1e3:.3f} ms/dispatch, "
+              f"{dw/L/n*1e9:.2f} ns/row", flush=True)
+
 
 if __name__ == "__main__":
     print(jax.devices(), flush=True)
