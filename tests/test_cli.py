@@ -172,10 +172,22 @@ def test_sensor_rigs_match_reference():
 
     # procedural stand-ins keep their historical camera counts, so the
     # 64-rig subset does NOT apply there (guard in _apply_rig); it binds
-    # when the real 64-sensor XML rig loads
-    b = j.build()
+    # when the real 64-sensor XML rig loads.  Pin the scene dir away from
+    # ./scenes: with the generated production assets present (round 4),
+    # build() would take the XML branch and return the 64-camera rig.
+    os.environ["UIVR_SCENE_DIR"] = "/nonexistent-test"
+    try:
+        b = j.build()
+    finally:
+        del os.environ["UIVR_SCENE_DIR"]
     assert b.cameras.n_sensors == 62
     assert b.sensors is None
+    # ... and WITH the assets, the XML branch must bind the calibrated
+    # 62-of-64 subset (52/53 skipped)
+    if os.path.isdir("scenes/janga-smoke"):
+        bx = get_scene_config("janga-smoke").build()
+        assert bx.cameras.n_sensors == 64
+        assert len(bx.sensors) == 62 and 52 not in bx.sensors
 
 
 def test_sample_batch_pixels_sensor_subset():
