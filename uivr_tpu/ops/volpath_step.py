@@ -1476,7 +1476,7 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 16))
     W = min(_round_stage(W), n)
     Rw = W // 128
-    Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 8))
+    Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 4))
 
     smp_all = make_lane_sampler(seed, n_lanes=n)
     h_pool = smp_all.h                                 # (n,) per-RAY streams
@@ -1818,7 +1818,7 @@ def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     W = width or int(os.environ.get("UIVR_PERSIST_W", 1 << 16))
     W = min(_round_stage(W), n)
     Rw = W // 128
-    Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 8))
+    Rf = refill_every or int(os.environ.get("UIVR_PERSIST_R", 4))
 
     smp_all = make_lane_sampler(seed, n_lanes=n)
     h_pool = smp_all.h                                 # (n,) per-RAY streams
