@@ -195,7 +195,8 @@ def measure(parity: bool):
                         shadow_rr=(0.0 if parity else
                                    float(os.environ.get("BENCH_SHADOW_RR",
                                                         0.05))),
-                        trans_grad_samples=4 if parity else 2)
+                        trans_grad_samples=int(os.environ.get(
+                            "BENCH_TGS", 4 if parity else 2)))
     settings = RenderSettings(integrator=cfg, medium=bundle.medium_cfg,
                               film_size=bundle.film_size, spp=spp,
                               spp_grad=spp_grad)

@@ -176,6 +176,32 @@ def main():
     print(f"   -> {dsc/L*1e3:.3f} ms/dispatch "
           f"({dsc/L/n*1e9:.1f} ns/lane over {5}x rows)", flush=True)
 
+    # ---- i: scatter/set row costs vs width (validates the round-4
+    # reservoir-collection consolidation and the deferred-tc design):
+    # .at[idx].add of (n, w) rows and .at[idx].set of (n, w) rows.
+    for w, op in ((1, "add"), (8, "add"), (32, "add"),
+                  (1, "set"), (16, "set")):
+        dst = jnp.zeros((262144 + 1, w), jnp.float32)
+        vals = jnp.asarray(np.random.RandomState(3).rand(n, w), jnp.float32)
+        ix0 = jnp.asarray(
+            np.random.RandomState(4).randint(0, 262144, n), jnp.int32)
+
+        @jax.jit
+        def i_loop(ix, dst, vals, _op=op):
+            def body(i, st):
+                ix, dst = st
+                if _op == "add":
+                    dst = dst.at[ix].add(vals, mode="drop")
+                else:
+                    dst = dst.at[ix].set(vals, mode="drop")
+                ix = (ix + dst[0, 0].astype(jnp.int32) + 7) % 262144
+                return (ix, dst)
+            return jax.lax.fori_loop(0, L, body, (ix, dst))
+        dwi = timeit(f"i in-graph row {op} w={w}", i_loop, ix0, dst, vals,
+                     reps=5)
+        print(f"   -> {dwi/L*1e3:.3f} ms/dispatch, "
+              f"{dwi/L/n*1e9:.2f} ns/row", flush=True)
+
     # ---- f: raw row gather cost vs ROW WIDTH, in-graph (does fetching a
     # 128-float block-row cost more than an 8-float row?  If not, fetching
     # per-supercell corner BLOCKS on entry instead of per-event rows pays

@@ -84,6 +84,35 @@ def test_adjoint_persistent_matches_staged(smoke):
         assert rel < 0.02, rel
 
 
+def test_adjoint_persistent_deferred_tc(smoke, monkeypatch):
+    """UIVR_DEFER_TC=1: transmittance-gradient rows accumulate in per-lane
+    pending slots (overflow-flushed), collect per ray at eviction, and
+    scatter once at the end — the gradient must equal the eager path up to
+    float summation order.  Tiny P forces the overflow-flush branch."""
+    sc, o, d = smoke
+    n = o.shape[0]
+    cfg = VolpathConfig(max_depth=8, rr_depth=5, trans_grad_samples=2,
+                        use_drt=True, use_drt_subsampling=True,
+                        use_drt_mis=True, shadow_rr=0.05)
+    seed = jnp.uint32(29)
+    rng = np.random.RandomState(5)
+    dL = jnp.asarray(rng.rand(n, 3), jnp.float32) / n
+    Lp, _ = vk.sample_primal_pallas(cfg, sc, o, d, seed, schedule=None,
+                                    interpret=True)
+    g1 = vk.sample_adjoint_persistent(cfg, sc, o, d, seed, dL, Lp,
+                                      width=512, refill_every=4,
+                                      interpret=True)
+    monkeypatch.setenv("UIVR_DEFER_TC", "1")
+    monkeypatch.setenv("UIVR_DEFER_P", "4")   # 2 segments: exercise flush
+    g2 = vk.sample_adjoint_persistent(cfg, sc, o, d, seed, dL, Lp,
+                                      width=512, refill_every=4,
+                                      interpret=True)
+    for a, b in zip((g1.sigma_t, g1.albedo), (g2.sigma_t, g2.albedo)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).sum() / max(np.abs(a).sum(), 1e-12)
+        assert rel < 1e-4, rel
+
+
 def test_render_grad_dispatch_pallas():
     """engine='pallas' full value_and_grad through the render op."""
     from uivr_tpu.render import RenderSettings, make_render, \

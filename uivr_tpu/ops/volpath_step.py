@@ -1599,7 +1599,16 @@ def _adj_put(full: AdjCarry, sub: AdjCarry, idx: jnp.ndarray) -> AdjCarry:
         acc=sub.acc, it=sub.it)
 
 
-def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
+def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool,
+                   defer_tc: bool = False):
+    """``defer_tc=True`` (persistent scheduler only): the step does NOT
+    scatter the tgs transmittance-gradient rows; it returns them as
+    ``(AdjCarry, (tc, tsx, tsy, tsz))`` lists so the caller can merge them
+    into per-lane pending slots and batch the scatter (round-4 split:
+    scatter-add cost is per ROW, and the tc rows are zero on the large
+    majority of dispatches — deferring turns 4*W rows/dispatch into
+    ~4 rows per SEGMENT EVENT).  The in-scattering/replay row (sc_sig,
+    nonzero on most collision dispatches) still scatters eagerly."""
     from ..scene.gradients import scatter_sigma, scatter_sigma_albedo
     m = scene.medium
     Dc, Hc, Wc = (int(s) for s in m.majorant_grid.shape)
@@ -1622,7 +1631,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
     n = R * 128
     sout = _scatter_outs(spec.tgs)
 
-    def step(c: AdjCarry, do_post: bool) -> AdjCarry:
+    def step(c: AdjCarry, do_post: bool):
         d_ = dict(zip(ALL_PLANES + ADJ_PLANES, c.planes))
         if do_post:
             sig, a0, a1, a2 = _sigma_albedo_planes(m, d_["px"], d_["py"],
@@ -1637,6 +1646,7 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
         if fix is not None and do_post:
             planes = fix(planes)
         acc = c.acc
+        tc_out = None
         if do_post:
             sc = dict(zip(sout, out[N_ADJ:]))
 
@@ -1645,7 +1655,15 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                                   z.reshape(n)], axis=-1)
 
             p_in = flat3(d_["px"], d_["py"], d_["pz"])
-            if m.sigma_ct is not None:
+            if defer_tc:
+                acc = scatter_sigma_albedo(
+                    acc, m, p_in, sc["sc_sig"].reshape(n),
+                    flat3(sc["sc_a0"], sc["sc_a1"], sc["sc_a2"]), None)
+                tc_out = ([sc[f"tc{k}"] for k in range(spec.tgs)],
+                          [sc[f"tsx{k}"] for k in range(spec.tgs)],
+                          [sc[f"tsy{k}"] for k in range(spec.tgs)],
+                          [sc[f"tsz{k}"] for k in range(spec.tgs)])
+            elif m.sigma_ct is not None:
                 # corner-table mode: ONE fused row scatter per dispatch —
                 # the in-scattering/replay row plus the tgs transmittance
                 # rows (zero albedo cotangent) concatenated; per-row
@@ -1669,8 +1687,11 @@ def _make_adj_step(cfg: VolpathConfig, scene: Scene, R: int, interpret: bool):
                     ps = flat3(sc[f"tsx{k}"], sc[f"tsy{k}"], sc[f"tsz{k}"])
                     acc = scatter_sigma(acc, m, ps, sc[f"tc{k}"].reshape(n),
                                         None)
-        return AdjCarry(planes=planes, acc=acc,
-                        it=c.it + (1 if do_post else 0))
+        nc = AdjCarry(planes=planes, acc=acc,
+                      it=c.it + (1 if do_post else 0))
+        if defer_tc:
+            return nc, tc_out
+        return nc
     return step
 
 
@@ -1803,6 +1824,7 @@ def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     from ..integrators.volpath_flat import _drt_backward_flat
     from ..integrators.volpathsimple import _Reservoir, _reservoir_get
     from ..scene.gradients import finalize_accum, init_accum
+    from ..scene.gradients import scatter_sigma as _scatter_sig
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1823,10 +1845,44 @@ def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     smp_all = make_lane_sampler(seed, n_lanes=n)
     h_pool = smp_all.h                                 # (n,) per-RAY streams
     alt_pool = lane_fork(smp_all, 0x9E3779B9).h
-    step = _make_adj_step(cfg, scene, Rw, interpret)
+    # Deferred transmittance-gradient scatters (UIVR_DEFER_TC=1): tc rows
+    # go into per-lane pending slots, collected per ray at eviction and
+    # scattered ONCE at the end — turning 4*W scatter rows per dispatch
+    # into ~4 rows per segment event (gradient identical up to summation
+    # order; see _make_adj_step docstring).
+    defer = (cfg.trans_grad_samples > 0
+             and os.environ.get("UIVR_DEFER_TC", "0") == "1")
+    tgs = cfg.trans_grad_samples
+    P = int(os.environ.get("UIVR_DEFER_P", 2 * max(tgs, 1)))
+    step_d = _make_adj_step(cfg, scene, Rw, interpret, defer_tc=defer)
+    if defer:
+        def _flat3(sx, sy, sz):
+            return jnp.stack([sx.reshape(-1), sy.reshape(-1),
+                              sz.reshape(-1)], axis=-1)
+
+        def step(c, do_post):
+            # eager wrapper (priming + straggler stages): same kernel,
+            # tc rows scattered immediately like the non-deferred step
+            nc, tc_out = step_d(c, do_post)
+            if tc_out is not None:
+                acc = nc.acc
+                tcs, sxs, sys_, szs = tc_out
+                for k in range(tgs):
+                    acc = _scatter_sig(acc, scene.medium,
+                                       _flat3(sxs[k], sys_[k], szs[k]),
+                                       tcs[k].reshape(-1), None)
+                nc = AdjCarry(planes=nc.planes, acc=acc, it=nc.it)
+            return nc
+    else:
+        step = step_d
     names = ALL_PLANES + ADJ_PLANES
     res_on = bool(cfg.use_drt and cfg.use_drt_subsampling)
-    res_idx = [names.index(nm) for nm in _RES_NAMES]
+    # reservoir planes split by dtype; collected as TWO wide .set scatters
+    # per flush (scatter cost is per ROW, ~flat in row width — PLAN.md
+    # round-4 split — so 18 narrow writes collapse into 2)
+    res_f32 = [nm for nm in _RES_NAMES if nm not in ("rvdepth", "rvact")]
+    res_idx_f = [names.index(nm) for nm in res_f32]
+    res_idx_i = [names.index(nm) for nm in ("rvdepth", "rvact")]
 
     z = jnp.zeros((Rw, 128), jnp.float32)
     zi = jnp.zeros((Rw, 128), jnp.int32)
@@ -1861,22 +1917,79 @@ def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
                   it=jnp.int32(0))
     ac = step(ac, do_post=False)
     rid0 = jnp.arange(W, dtype=jnp.int32)
-    bufs0 = tuple(
-        jnp.full((n + 1,), -1, jnp.int32) if nm == "rvdepth" else
-        jnp.zeros((n + 1,), jnp.int32 if nm == "rvact" else jnp.float32)
-        for nm in _RES_NAMES) if res_on else ()
+    if res_on:
+        buf_i0 = jnp.zeros((n + 1, 2), jnp.int32).at[:, 0].set(-1)
+        bufs0 = (jnp.zeros((n + 1, len(res_f32)), jnp.float32), buf_i0)
+    else:
+        bufs0 = ()
 
-    def flush(ac, rid, bufs, force=False):
+    if defer:
+        zP = jnp.zeros((P, Rw, 128), jnp.float32)
+        dst0 = ((zP, zP, zP, zP), jnp.zeros((Rw, 128), jnp.int32),
+                jnp.zeros((n + 1, 4 * P), jnp.float32))
+    else:
+        dst0 = ()
+
+    def merge_pending(acc, dst, tc_out):
+        """Append this dispatch's nonzero tc samples to per-lane pending
+        slots; if any lane could overflow on the NEXT dispatch, flush all
+        pending rows into the accumulator now (rare)."""
+        pend, cnt, tbuf = dst
+        tcs, sxs, sys_, szs = tc_out
+        valid, off = [], []
+        run = jnp.zeros_like(cnt)
+        for t in tcs:
+            valid.append(t != 0)
+            off.append(run)
+            run = run + (t != 0).astype(jnp.int32)
+        new = list(pend)
+        for j in range(tgs):
+            slot = cnt + off[j]
+            vals = (tcs[j], sxs[j], sys_[j], szs[j])
+            for s in range(P):
+                msel = valid[j] & (slot == s)
+                new = [a.at[s].set(jnp.where(msel, v, a[s]))
+                       for a, v in zip(new, vals)]
+        cnt = cnt + run
+
+        def do_flush(args):
+            acc, pend, cnt = args
+            pc_, px_, py_, pz_ = pend
+            pos = jnp.stack([px_.reshape(-1), py_.reshape(-1),
+                             pz_.reshape(-1)], axis=-1)
+            acc = _scatter_sig(acc, m, pos, pc_.reshape(-1), None)
+            return acc, (zP, zP, zP, zP), jnp.zeros_like(cnt)
+
+        acc, pend2, cnt = jax.lax.cond(
+            jnp.any(cnt > P - tgs), do_flush, lambda a: a,
+            (acc, tuple(new), cnt))
+        return acc, (pend2, cnt, tbuf)
+
+    def flush(ac, rid, bufs, dst, force=False):
         mode = ac.mode_plane.reshape(-1)
         fin = (rid >= 0) if force else ((mode == DONE) & (rid >= 0))
         idx = jnp.where(fin, rid, n)
         if res_on:
-            bufs = tuple(b.at[idx].set(ac.planes[i].reshape(-1))
-                         for b, i in zip(bufs, res_idx))
-        return jnp.where(fin, -1, rid), bufs
+            vf = jnp.stack([ac.planes[i].reshape(-1) for i in res_idx_f],
+                           axis=-1)
+            vi = jnp.stack([ac.planes[i].reshape(-1) for i in res_idx_i],
+                           axis=-1)
+            bufs = (bufs[0].at[idx].set(vf), bufs[1].at[idx].set(vi))
+        if defer:
+            # collect evicted lanes' pending tc rows into the per-ray wide
+            # buffer (ONE W-row set) and clear their slots for reuse
+            pend, cnt, tbuf = dst
+            cols = jnp.concatenate(
+                [a.reshape(P, -1).T for a in pend], axis=-1)   # (W, 4P)
+            tbuf = tbuf.at[idx].set(cols)
+            keep = (~fin).reshape(Rw, 128)
+            pend = tuple(jnp.where(keep[None], a, 0.0) for a in pend)
+            cnt = jnp.where(keep, cnt, 0)
+            dst = (pend, cnt, tbuf)
+        return jnp.where(fin, -1, rid), bufs, dst
 
-    def refill(ac, rid, head, bufs):
-        rid, bufs = flush(ac, rid, bufs)
+    def refill(ac, rid, head, bufs, dst):
+        rid, bufs, dst = flush(ac, rid, bufs, dst)
         done = ac.mode_plane.reshape(-1) == DONE
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
         src = head + rank
@@ -1890,24 +2003,33 @@ def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
         head = jnp.minimum(head + jnp.sum(done.astype(jnp.int32)),
                            jnp.int32(n))
         return (AdjCarry(planes=planes, acc=ac.acc, it=ac.it), rid, head,
-                bufs)
+                bufs, dst)
 
     it_cap = 3 * cfg.max_steps * (n // W + 2)
 
     def cond(st):
-        ac, rid, head, bufs = st
+        ac, rid, head, bufs, dst = st
         return (head < n) & (ac.it < it_cap)
 
     def body(st):
-        ac, rid, head, bufs = st
-        ac = jax.lax.fori_loop(
-            0, Rf, lambda i, a: step(a, do_post=True), ac)
-        return refill(ac, rid, head, bufs)
+        ac, rid, head, bufs, dst = st
+        if defer:
+            def inner(i, st2):
+                ac, dst = st2
+                ac, tc_out = step_d(ac, do_post=True)
+                acc, dst = merge_pending(ac.acc, dst, tc_out)
+                return AdjCarry(planes=ac.planes, acc=acc, it=ac.it), dst
+            ac, dst = jax.lax.fori_loop(0, Rf, inner, (ac, dst))
+        else:
+            ac = jax.lax.fori_loop(
+                0, Rf, lambda i, a: step(a, do_post=True), ac)
+        return refill(ac, rid, head, bufs, dst)
 
-    ac, rid, head, bufs = jax.lax.while_loop(
-        cond, body, (ac, rid0, jnp.int32(W), bufs0))
+    ac, rid, head, bufs, dst = jax.lax.while_loop(
+        cond, body, (ac, rid0, jnp.int32(W), bufs0, dst0))
 
-    # stragglers: staged compaction on the final W-wide buffer
+    # stragglers: staged compaction on the final W-wide buffer (eager tc
+    # scatters — `step` wraps the same kernel when defer is on)
     steps = {W: step}
     sched = _stage_steps(
         lambda r: _make_adj_step(cfg, scene, r, interpret),
@@ -1919,11 +2041,21 @@ def sample_adjoint_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     ac = _run_rounds(step_dispatch, _adj_take, _adj_put,
                      lambda c: (c.mode_plane != DONE).reshape(-1),
                      ac, sched, W, max_iters=it_cap)
-    rid, bufs = flush(ac, rid, bufs, force=True)
+    rid, bufs, dst = flush(ac, rid, bufs, dst, force=True)
 
     acc = ac.acc
+    if defer:
+        # ONE batched scatter of every ray's collected pending tc rows
+        pend, cnt, tbuf = dst
+        cot = tbuf[:, :P].reshape(-1)
+        pos = jnp.stack([tbuf[:, P:2 * P].reshape(-1),
+                         tbuf[:, 2 * P:3 * P].reshape(-1),
+                         tbuf[:, 3 * P:].reshape(-1)], axis=-1)
+        acc = _scatter_sig(acc, m, pos, cot, None)
     if res_on:
-        dd = dict(zip(_RES_NAMES, bufs))
+        dd = {nm: bufs[0][:, j] for j, nm in enumerate(res_f32)}
+        dd["rvdepth"] = bufs[1][:, 0]
+        dd["rvact"] = bufs[1][:, 1]
 
         def u(k):
             return dd[k][:n]
