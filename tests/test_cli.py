@@ -103,6 +103,19 @@ def test_reference_cache_spp_refresh(tmp_path):
     render_references(bundle, st, out, spp=2)
     assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) == t1
     assert _json.load(open(os.path.join(out, "_refspp.json")))["spp"] == 4
+    # interrupted refresh resumes per frame: a partial sidecar marking
+    # sensor 0 done must re-render only the remaining frames
+    with open(os.path.join(out, "_refspp.json"), "w") as f:
+        _json.dump({"spp": 4, "partial": True, "done": [0]}, f)
+    t0 = os.path.getmtime(os.path.join(out, "ref_000000.exr"))
+    tN = os.path.getmtime(
+        os.path.join(out, f"ref_{bundle.cameras.n_sensors-1:06d}.exr"))
+    render_references(bundle, st, out, spp=4)
+    assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) == t0
+    assert os.path.getmtime(
+        os.path.join(out, f"ref_{bundle.cameras.n_sensors-1:06d}.exr")) > tN
+    meta = _json.load(open(os.path.join(out, "_refspp.json")))
+    assert meta == {"spp": 4}
 
 
 def test_experiment_overrides_match_reference():

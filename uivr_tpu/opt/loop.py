@@ -92,35 +92,46 @@ def render_references(bundle: SceneBundle, settings: RenderSettings,
     # reference noise to the estimator (filenames stay spp-less so existing
     # runs keep their caches)
     meta_path = join(out_dir, "_refspp.json")
-    cached_spp = None
+    meta = {}
     if os.path.isfile(meta_path):
         try:
-            cached_spp = json.load(open(meta_path)).get("spp")
+            meta = json.load(open(meta_path))
         except (OSError, ValueError):
-            cached_spp = None
-    if cached_spp is None or cached_spp < spp:
-        # LOWER-spp (or unknown-provenance) caches re-render: silently
-        # reusing them would feed reference noise into the reconstruction
-        # (advisor r3; the reference renders at 8192 spp,
-        # scene_config.py:24).  The sidecar is removed first and rewritten
-        # only after every frame is re-rendered, so an interrupted refresh
-        # re-renders on resume instead of trusting a mixed cache.
+            meta = {}
+    cached_spp = meta.get("spp")
+    partial = bool(meta.get("partial"))
+    done = set(meta.get("done", []))
+    # LOWER-spp (or unknown-provenance) caches re-render: silently reusing
+    # them would feed reference noise into the reconstruction (advisor r3;
+    # the reference renders at 8192 spp, scene_config.py:24).  A refresh is
+    # RESUMABLE across process restarts: the sidecar records the target spp
+    # with a `partial` marker and the per-frame `done` list, so a relay
+    # crash mid-refresh costs only the frame in flight, never the pass.
+    if cached_spp == spp and partial:
+        print(f"[refs] resuming partial spp={spp} refresh in {out_dir}: "
+              f"{len(done)}/{len(sensors)} frames done")
+    elif cached_spp is None or cached_spp < spp or partial:
         if any(os.path.isfile(join(out_dir, f"ref_{s:06d}.exr"))
                for s in sensors):
-            print(f"[refs] cache in {out_dir} is spp={cached_spp}, run "
-                  f"requests spp={spp}: re-rendering all references")
-            overwrite = True
-        if os.path.isfile(meta_path):
-            os.remove(meta_path)
+            print(f"[refs] cache in {out_dir} is spp={cached_spp}"
+                  f"{' (partial)' if partial else ''}, run requests "
+                  f"spp={spp}: re-rendering all references")
+        done = set()
     elif cached_spp > spp:
         print(f"[refs] reusing cached references at spp={cached_spp} "
               f">= requested {spp}")
         spp = cached_spp
+        done = set(sensors)
+    else:                                   # complete cache at this spp
+        done = set(sensors)
+    if overwrite:
+        done = set()
     W, H = bundle.film_size
     out = np.zeros((n, H, W, 3), np.float32)
+    fresh = [s for s in sensors if s not in done]
     for s in sensors:
         fname = join(out_dir, f"ref_{s:06d}.exr")
-        if os.path.isfile(fname) and not overwrite:
+        if s in done and os.path.isfile(fname):
             out[s] = exr_io.read_exr(fname)
         else:
             img = render_image(settings, bundle.params, bundle.emitter,
@@ -128,6 +139,11 @@ def render_references(bundle: SceneBundle, settings: RenderSettings,
                                medium_to_world=bundle.to_world)
             exr_io.write_exr(fname, img)
             out[s] = img
+            if fresh:                       # refresh in progress: checkpoint
+                done.add(s)
+                with open(meta_path, "w") as f:
+                    json.dump({"spp": spp, "partial": True,
+                               "done": sorted(done)}, f)
     with open(meta_path, "w") as f:
         json.dump({"spp": spp}, f)
     return out
