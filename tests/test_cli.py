@@ -104,18 +104,25 @@ def test_reference_cache_spp_refresh(tmp_path):
     assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) == t1
     assert _json.load(open(os.path.join(out, "_refspp.json")))["spp"] == 4
     # interrupted refresh resumes per frame: a partial sidecar marking
-    # sensor 0 done must re-render only the remaining frames
-    with open(os.path.join(out, "_refspp.json"), "w") as f:
-        _json.dump({"spp": 4, "partial": True, "done": [0]}, f)
-    t0 = os.path.getmtime(os.path.join(out, "ref_000000.exr"))
-    tN = os.path.getmtime(
-        os.path.join(out, f"ref_{bundle.cameras.n_sensors-1:06d}.exr"))
-    render_references(bundle, st, out, spp=4)
-    assert os.path.getmtime(os.path.join(out, "ref_000000.exr")) == t0
-    assert os.path.getmtime(
-        os.path.join(out, f"ref_{bundle.cameras.n_sensors-1:06d}.exr")) > tN
-    meta = _json.load(open(os.path.join(out, "_refspp.json")))
-    assert meta == {"spp": 4}
+    # sensor 0 done must re-render only the remaining frames (needs a
+    # multi-sensor rig; tiny-cube has one camera)
+    from uivr_tpu.config import smoke_scene
+    b2 = smoke_scene(res=8, resx=16, resy=16, n_sensors=2)
+    st2 = RenderSettings(integrator=cfg, medium=b2.medium_cfg,
+                         film_size=b2.film_size, spp=2, spp_grad=2)
+    out2 = str(tmp_path / "refs2")
+    render_references(b2, st2, out2, spp=2)
+    with open(os.path.join(out2, "_refspp.json"), "w") as f:
+        _json.dump({"spp": 2, "partial": True, "done": [0]}, f)
+    t0 = os.path.getmtime(os.path.join(out2, "ref_000000.exr"))
+    t1b = os.path.getmtime(os.path.join(out2, "ref_000001.exr"))
+    import time as _time
+    _time.sleep(0.05)
+    render_references(b2, st2, out2, spp=2)
+    assert os.path.getmtime(os.path.join(out2, "ref_000000.exr")) == t0
+    assert os.path.getmtime(os.path.join(out2, "ref_000001.exr")) > t1b
+    meta = _json.load(open(os.path.join(out2, "_refspp.json")))
+    assert meta == {"spp": 2}
 
 
 def test_experiment_overrides_match_reference():
