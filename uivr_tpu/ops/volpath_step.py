@@ -1458,10 +1458,11 @@ def sample_primal_persistent(cfg: VolpathConfig, scene: Scene, o, d, seed,
     sample_primal_pallas; different dispatch schedule).  ``k_cand > 1``
     composes K-candidate event batching with the persistent buffer: each
     dispatch's POST consumes up to K pre-gathered sigma candidates and PRE
-    emits the next K, so the per-dispatch XLA sigma gather covers K*W rows
-    — amortized even at the narrow persistent widths (W=64k) where a
-    single-candidate gather is latency-bound (~105 ns/row vs ~13 at 1M;
-    PLAN.md round-2/round-4 measurements).  Refilled lanes enter with
+    emits the next K, so the per-dispatch XLA sigma gather covers K*W
+    rows.  MEASURED A REGRESSION (PLAN.md round 4: the gather is
+    descriptor-rate-bound, ~10 ns/row FLAT from 64k to 1M rows, so K
+    cannot amortize it and only adds VPU + plane traffic) — kept for
+    completeness/sweeps, default off.  Refilled lanes enter with
     zeroed candidate planes (kind=0 = invalid), so their first POST is a
     position-preserving no-op and their PRE consumes exactly the priming
     draws — per-ray realization is unchanged for k_cand=1 and
