@@ -25,18 +25,18 @@ run() {
     grep -v -i warning "$LOG/$name.log" | tail -2
 }
 
-run janga_complete timeout 14000 env UIVR_SCENE_DIR=/nonexistent \
+run janga_complete timeout 14000 env UIVR_SCENE_DIR=/nonexistent UIVR_RENDER_CHUNK=262144 \
     python -m uivr_tpu.cli.reproduce \
     --config janga-smoke --integrator nerf volpathsimple-drt \
     --scale 0.1 --ref-spp 1024 --outputs outputs_r2 \
     --retries 40 --scan-stride 1
 
-run janga_xml timeout 10000 python -m uivr_tpu.cli.reproduce \
+run janga_xml timeout 10000 env UIVR_RENDER_CHUNK=262144 python -m uivr_tpu.cli.reproduce \
     --config janga-smoke --integrator nerf volpathsimple-drt \
     --scale 0.05 --film-scale 0.25 --ref-spp 256 --outputs outputs_r4/xml \
     --retries 20 --scan-stride 1
 
-run dust_devil_xml timeout 10000 python -m uivr_tpu.cli.reproduce \
+run dust_devil_xml timeout 10000 env UIVR_RENDER_CHUNK=262144 python -m uivr_tpu.cli.reproduce \
     --config dust-devil --integrator nerf volpathsimple-drt \
     --scale 0.05 --film-scale 0.25 --ref-spp 256 --outputs outputs_r4/xml \
     --retries 20 --scan-stride 1
@@ -46,7 +46,7 @@ run dust_devil_xml timeout 10000 python -m uivr_tpu.cli.reproduce \
 mkdir -p outputs_r2/janga-smoke-from-nerf
 ln -sfn ../janga-smoke/references outputs_r2/janga-smoke-from-nerf/references
 
-run janga_from_nerf timeout 8000 env UIVR_SCENE_DIR=/nonexistent \
+run janga_from_nerf timeout 8000 env UIVR_SCENE_DIR=/nonexistent UIVR_RENDER_CHUNK=262144 \
     python -m uivr_tpu.cli.reproduce \
     --config janga-smoke-from-nerf --integrator volpathsimple-drt \
     --scale 0.05 --ref-spp 1024 --outputs outputs_r2 \

@@ -314,12 +314,21 @@ def _chunk_renderer(settings: RenderSettings, spp: int):
 
 def render_image(settings: RenderSettings, params: MediumParams,
                  emitter: Emitter, cameras: Cameras, sensor: int,
-                 seed=0, spp: int = None, chunk: int = 1 << 20,
+                 seed=0, spp: int = None, chunk: int = None,
                  medium_to_world: np.ndarray = None) -> np.ndarray:
     """Full-frame (non-differentiable) render of one sensor with multi-pass
     chunking — the reference's reference-image/preview path with its
     memory-bounded pass splitting (optimize.py:24-53, render_previews).
-    Host-side loop over pixel chunks; returns (H, W, 3) numpy."""
+    Host-side loop over pixel chunks; returns (H, W, 3) numpy.
+
+    ``chunk`` (rays per dispatch, default 2^20, UIVR_RENDER_CHUNK): the
+    axon relay kills executions past ~45 s, and on dense production media
+    an edge-on sensor's 1M-ray chunk can cross that line DETERMINISTICALLY
+    (janga-smoke 1024-spp references, sensor 31, round 4) — every resume
+    then dies at the same frame.  Lower it for such scenes."""
+    import os as _os
+    if chunk is None:
+        chunk = int(_os.environ.get("UIVR_RENDER_CHUNK", 1 << 20))
     st = settings
     W, H = st.film_size
     spp = spp or st.spp
