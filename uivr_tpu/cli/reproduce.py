@@ -13,6 +13,7 @@ Completed runs (final checkpoint present) are skipped (reproduce.py:39-41).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from os.path import isfile, join
@@ -68,6 +69,14 @@ def _opt_for(scene_name: str, int_name: str, scale: float
 
 
 def main(argv=None):
+    # Persistent compilation cache: the --retries supervisor resumes via
+    # fresh processes (the axon TPU client is not reusable after a worker
+    # crash), and without the cache every resume re-pays the full ~minutes
+    # pallas-engine compile before the first resumed iteration.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="tiny-cube",
                     choices=list_scene_configs())
