@@ -154,3 +154,33 @@ def test_xml_scene_renders(assets):
                             jnp.uint32(1), jnp.uint32(2)))
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_mixed_resolution_grids_resampled(assets):
+    """GT assets may pair grids at different resolutions (the paper's janga
+    scene: 264x136x136 sigma_t with a 256x128x128 albedo-noise volume,
+    reference scene_config.py:105-113).  Ingestion resamples secondary
+    grids onto sigma_t's resolution so the fused kernel's combined
+    sigma+albedo corner-table row gather stays valid."""
+    d, sigma, albedo, sky = assets
+    rs = np.random.RandomState(11)
+    alb_small = rs.rand(6, 5, 4, 3).astype(np.float32)
+    write_vol(str(d / "albedo_small.vol"), alb_small)
+    xml = _XML.replace('value="albedo.vol"', 'value="albedo_small.vol"')
+    (d / "scene_mixed.xml").write_text(xml)
+    b = load_xml_scene(str(d / "scene_mixed.xml"),
+                       variables={"medium_filename": "density.vol"})
+    assert b.params.sigma_t.shape == (12, 10, 8, 1)
+    assert b.params.albedo.shape == (12, 10, 8, 3)
+    assert b.params.emission.shape == (12, 10, 8, 3)
+    # resampling preserves the field's range and its grid-corner values
+    assert float(b.params.albedo.min()) >= float(alb_small.min()) - 1e-6
+    assert float(b.params.albedo.max()) <= float(alb_small.max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(b.params.albedo[0, 0, 0]),
+                               alb_small[0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.params.albedo[-1, -1, -1]),
+                               alb_small[-1, -1, -1], atol=1e-6)
+    # the combined corner table builds (the equal-shape invariant holds)
+    from uivr_tpu.scene.medium import finalize_medium
+    m = finalize_medium(b.params, b.medium_cfg, b.to_world)
+    assert m.combined_ct is not None

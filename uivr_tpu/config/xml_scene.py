@@ -300,6 +300,27 @@ def load_xml_scene(path: str, variables: Dict[str, object] = None,
     albedo = grid_or("albedo", 3, 0.8)
     emission = grid_or("emission", 3, 0.0)
 
+    # Mixed-resolution ground-truth grids (the paper's real janga assets
+    # pair a 264x136x136 sigma_t with a 256x128x128 albedo-noise volume —
+    # reference scene_config.py:105-113; Mitsuba samples each gridvolume in
+    # [0,1]^3 independently): resample secondary grids onto sigma_t's
+    # resolution so the fused tracking kernel's combined sigma+albedo
+    # corner-table row gather (scene/medium.py finalize_medium) stays on
+    # its one-row fast path.  Trilinear resampling of a trilinear grid is a
+    # slight smoothing of the GT albedo field; printed loudly because it is
+    # the one place ingestion is not bit-faithful to the XML assets.
+    def _to_sigma_res(name, g):
+        if g.shape[:3] == (D, H_, W_):
+            return g
+        from ..core.grids import resize_trilinear
+        print(f"[xml] {name} grid {g.shape[:3]} resampled to sigma_t "
+              f"resolution {(D, H_, W_)} (combined corner-table path "
+              f"requires a common grid resolution)")
+        return np.asarray(resize_trilinear(jnp.asarray(g), (D, H_, W_)))
+
+    albedo = _to_sigma_res("albedo", albedo)
+    emission = _to_sigma_res("emission", emission)
+
     phase_g = 0.0
     ph = medium.find("phase")
     if ph is not None and ph.get("type") == "hg":
