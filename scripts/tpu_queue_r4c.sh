@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-4 TPU queue C: final perf A/Bs on the persistent scheduler
+# (run when the reproduction queue frees the chip; ~25 min total).
+#   1. control           — tuned default (persistent W=65536, R=4)
+#   2. defer_tc          — UIVR_DEFER_TC=1: adjoint transmittance-gradient
+#                          scatters accumulate in pending lane slots and
+#                          flush wide at eviction (same wide-row argument
+#                          as the reservoir-collection win)
+#   3. r2                — refill interval 4 -> 2 (r4 measured 8->4 +5.3%;
+#                          is there more?)
+#   4. defer_tc + best R — composition if 2 or 3 won
+# Methodology matches the r3/r4 sweeps: BENCH_ITERS=4, gate off (the gate
+# runs green separately / in the driver's final bench).
+set -u
+cd "$(dirname "$0")/.."
+LOG=${LOG:-/tmp/tpu_queue_r4c}
+mkdir -p "$LOG"
+B="timeout 2400 env BENCH_PARITY=0 BENCH_ITERS=4 BENCH_GATE=0"
+run() {
+    local name=$1; shift
+    echo "== $name ($(date +%H:%M:%S))"
+    ( $B "$@" python bench.py > "$LOG/$name.log" 2>&1; echo "EXIT=$?" >> "$LOG/$name.log" )
+    grep -v -i warning "$LOG/$name.log" | tail -1
+}
+run control
+run defer_tc UIVR_DEFER_TC=1
+run r2 UIVR_PERSIST_R=2
+run defer_tc_r2 UIVR_DEFER_TC=1 UIVR_PERSIST_R=2
+echo "queue C done ($(date +%H:%M:%S))"
