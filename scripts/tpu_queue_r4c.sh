@@ -25,5 +25,11 @@ run() {
 run control
 run defer_tc UIVR_DEFER_TC=1
 run r2 UIVR_PERSIST_R=2
-run defer_tc_r2 UIVR_DEFER_TC=1 UIVR_PERSIST_R=2
+# finer in-VMEM classification: budget 32768 -> fs=2 at 64^3 (subcell hi
+# over 2^3 voxels ~= local sigma, so most *null* candidates resolve
+# without the sigma row gather; lookup cost ~1 ns/lane at 256 shuffle
+# rounds vs the 10.2 ns/lane gather it avoids)
+run class32k UIVR_CLASS_CELLS=32768
+run cross8 UIVR_CROSS_STEPS=8
+run best_combo UIVR_DEFER_TC=1 UIVR_CLASS_CELLS=32768   # edit per results
 echo "queue C done ($(date +%H:%M:%S))"
