@@ -76,8 +76,15 @@ def main(argv=None):
         np.save(join(args.out, f"adjoint_{k}.npy"), ga)
         np.save(join(args.out, f"fd_{k}.npy"), gf)
         scale = max(np.abs(gf).max(), 1e-12)
+        # corrcoef is 0/0 when either side is identically zero (e.g. the
+        # emission grid under a non-emissive estimator); both-zero means
+        # exact agreement, not undefined
+        if ga.std() == 0.0 or gf.std() == 0.0:
+            corr = 1.0 if np.array_equal(ga, gf) else 0.0
+        else:
+            corr = float(np.corrcoef(ga.ravel(), gf.ravel())[0, 1])
         summary[k] = {
-            "corr": float(np.corrcoef(ga.ravel(), gf.ravel())[0, 1]),
+            "corr": corr,
             "median_rel_err": float(np.median(np.abs(ga - gf)) / scale),
             "max_rel_err": float(np.abs(ga - gf).max() / scale),
         }
