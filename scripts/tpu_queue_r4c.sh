@@ -32,4 +32,17 @@ run r2 UIVR_PERSIST_R=2
 run class32k UIVR_CLASS_CELLS=32768
 run cross8 UIVR_CROSS_STEPS=8
 run best_combo UIVR_DEFER_TC=1 UIVR_CLASS_CELLS=32768   # edit per results
+# The adjoint-side levers matter MOST at the reference-parity estimator
+# config (bwd = 73.3% of step time there, BENCH_SPLIT r4): measure parity
+# for the control and the best tuned combo so BENCH_r04's parity record
+# reflects the sweep's winner.
+P="timeout 2400 env BENCH_PARITY=1 BENCH_ITERS=4 BENCH_GATE=0"
+prun() {
+    local name=$1; shift
+    echo "== $name ($(date +%H:%M:%S))"
+    ( $P "$@" python bench.py > "$LOG/$name.log" 2>&1; echo "EXIT=$?" >> "$LOG/$name.log" )
+    grep -v -i warning "$LOG/$name.log" | tail -1
+}
+prun parity_control
+prun parity_defer_tc UIVR_DEFER_TC=1
 echo "queue C done ($(date +%H:%M:%S))"
