@@ -250,7 +250,7 @@ add_scene_config("astronaut-rotated", builder=smoke_scene,
                  scene_vars={'resx': 720, 'resy': 1080, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/skylit_garage_4k.exr', 'majorant_resolution_factor': 8},
                  ref_scene_vars={'resx': 720, 'resy': 1080, 'envmap_filename': 'textures/skylit_garage_4k.exr'},
                  sensors=_SENS_ALL, preview_sensors=(0,),
-                 start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
+                 start_from_value={'medium1.sigma_t.data': 0.04, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.1},
                  builder_kwargs={"res": 128, "resx": 120, "resy": 180,
                                  "n_sensors": 64, "density_scale": 2.0,
                                  "seed": 3, "majorant_factor": 16})
@@ -261,7 +261,7 @@ add_scene_config("rover", builder=smoke_scene,
                  scene_vars={'resx': 860, 'resy': 720, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/gamrig_2k.hdr', 'majorant_resolution_factor': 8},
                  ref_scene_vars={'resx': 860, 'resy': 720, 'envmap_filename': 'textures/gamrig_2k.hdr'},
                  sensors=_SENS_NO_52_53,
-                 start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
+                 start_from_value={'medium1.sigma_t.data': 0.04, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.1},
                  builder_kwargs={"res": 128, "resx": 215, "resy": 180,
                                  "n_sensors": 61, "density_scale": 2.0,
                                  "seed": 4, "majorant_factor": 16})
@@ -272,7 +272,7 @@ add_scene_config("tree-2", builder=smoke_scene,
                  scene_vars={'resx': 720, 'resy': 900, 'medium_filename': 'volumes/sigma_t-constant-sand-256-256-256.vol', 'albedo_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'emission_filename': 'volumes/albedo-constant-sand-256-256-256.vol', 'envmap_filename': 'textures/round_platform_2k.hdr', 'majorant_resolution_factor': 8},
                  ref_scene_vars={'resx': 720, 'resy': 900, 'envmap_filename': 'textures/round_platform_2k.hdr'},
                  sensors=_SENS_ALL,
-                 start_from_value={'medium1.sigma_t.data': 0.02, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.05},
+                 start_from_value={'medium1.sigma_t.data': 0.04, 'medium1.albedo.data': 0.6, 'medium1.emission.data': 0.1},
                  builder_kwargs={"res": 128, "resx": 144, "resy": 180,
                                  "n_sensors": 64, "density_scale": 2.0,
                                  "seed": 5, "majorant_factor": 16})
