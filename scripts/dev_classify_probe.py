@@ -28,9 +28,18 @@ from uivr_tpu.core.rng import make_lane_sampler
 from uivr_tpu.scene import Scene, finalize_medium
 
 
-def main(factor=16, shadow_rr=0.05, n=8192, seed=1, max_depth=32, rr_depth=8):
-    b = smoke_scene(res=64, resx=128, resy=128, n_sensors=4,
-                    majorant_factor=factor)
+def main(factor=16, shadow_rr=0.05, n=8192, seed=1, max_depth=32, rr_depth=8,
+         scene="bench"):
+    if scene == "bench":
+        b = smoke_scene(res=64, resx=128, resy=128, n_sensors=4,
+                        majorant_factor=factor)
+    else:
+        # REAL production media (VERDICT r4 next #3): the XML ground-truth
+        # bundle, at the walking factor finalize_medium actually gives the
+        # kernel (requested factor auto-coarsened to the VMEM budget)
+        from uivr_tpu.config.registry import get_scene_config
+        b = get_scene_config(scene).build_ref()
+        nsens = b.cameras.n_sensors
     m = finalize_medium(b.params, b.medium_cfg, b.to_world)
     sc = Scene(medium=m, emitter=b.emitter, cameras=b.cameras)
     cfg = VolpathConfig(max_depth=max_depth, rr_depth=rr_depth,
@@ -55,9 +64,12 @@ def main(factor=16, shadow_rr=0.05, n=8192, seed=1, max_depth=32, rr_depth=8):
 
     from uivr_tpu.render import sample_batch_pixels
     from uivr_tpu.scene.camera import sample_rays
-    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(seed), 4,
-                                             (128, 128), n)
-    uv = (pixels.astype(jnp.float32) + 0.5) / 128.0
+    n_sens = b.cameras.n_sensors if scene != "bench" else 4
+    W_, H_ = b.film_size if scene != "bench" else (128, 128)
+    sensor_idx, pixels = sample_batch_pixels(jnp.uint32(seed), n_sens,
+                                             (W_, H_), n)
+    uv = ((pixels.astype(jnp.float32) + 0.5)
+          / jnp.array([W_, H_], jnp.float32))
     o_w, d_w = sample_rays(b.cameras, sensor_idx, uv)
     smp = make_lane_sampler(jnp.uint32(seed), n_lanes=n)
     carry = vf._init_carry(sc, o_w, d_w, smp, None)
@@ -126,5 +138,7 @@ if __name__ == "__main__":
     ap.add_argument("--factor", type=int, default=16)
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--shadow-rr", type=float, default=0.05)
+    ap.add_argument("--scene", default="bench",
+                    help="bench | janga-smoke | dust-devil (XML GT media)")
     a = ap.parse_args()
-    main(factor=a.factor, n=a.n, shadow_rr=a.shadow_rr)
+    main(factor=a.factor, n=a.n, shadow_rr=a.shadow_rr, scene=a.scene)
