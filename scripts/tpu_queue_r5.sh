@@ -23,7 +23,7 @@ if [ ! -e "$OUT/janga-smoke-from-nerf/references" ]; then
     ln -s ../janga-smoke/references "$OUT/janga-smoke-from-nerf/references"
 fi
 run --config janga-smoke-from-nerf --integrator volpathsimple-drt \
-    --scale 0.1 --film-scale 0.25 --ref-spp 1024 --shadow-rr 0.05 \
+    --scale 0.05 --film-scale 0.25 --ref-spp 1024 --shadow-rr 0.05 \
     --outputs "$OUT" --retries 20 --scan-stride 1
 
 # 2. dust-devil through the real XML assets (256^3 GT grid, 4k envmap,
