@@ -4,10 +4,13 @@
 # process otherwise — slow and deadlock-prone under concurrency).
 #
 # Default mode runs each test FILE in its own pytest process: a monolithic
-# process accumulates enough XLA CPU compilation/runtime state to segfault
-# before the end of the suite (reproduced twice in round 1/2: different
-# tests, same signature — SIGSEGV inside XLA CPU execution after many
-# interpret-mode pallas programs), while every test passes in isolation.
+# process accumulates enough XLA CPU compile/runtime state to crash a
+# LATER jit compile (SIGSEGV in backend_compile_and_load; SIGABRT at the
+# same site with --xla_cpu_parallel_codegen_split_count=1 — i.e. heap
+# corruption, not an execution bug).  Round-5 bisect: cumulative-state
+# threshold, halves pass, every test passes in isolation.  Pinned
+# pytest-free reproducer: scripts/repro14_cpu_segv.py; upstream-ready
+# report: docs/XLA_CPU_CRASH_REPORT.md.
 # If a file's process still dies on a signal (exit >= 128), it is re-run
 # one TEST per process, so one bad interaction can't fail the gate.
 # Passing explicit args falls back to a single process
