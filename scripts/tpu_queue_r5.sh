@@ -23,10 +23,10 @@ run() {
 #    stand-in refs (make_external_refs.py), then nerf -> drt driven from
 #    --references — the last untouched reference experiment family.
 timeout 1800 python scripts/make_external_refs.py --config astronaut-rotated \
-    --out "$OUT/ext-refs/astronaut-rotated" --spp 256
-T=3000
+    --out "$OUT/ext-refs/astronaut-rotated" --spp 128 --film-scale 0.5
+T=3600
 run --config astronaut-rotated --integrator nerf volpathsimple-drt \
-    --scale 0.05 --shadow-rr 0.05 \
+    --scale 0.05 --film-scale 0.5 --shadow-rr 0.05 \
     --references "$OUT/ext-refs/astronaut-rotated" \
     --outputs "$OUT" --retries 10 --scan-stride 1
 
