@@ -53,11 +53,14 @@ def main():
     for n in COUNTS:
         cells = []
         for w in WIDTHS:
+            # tables are passed as ARGUMENTS: a closure-captured jnp
+            # constant is embedded in the remote-compile request body and
+            # 413s the axon compile helper at 512-wide tables
             tab = jnp.asarray(
                 np.random.RandomState(1).rand(TABLE_ROWS, w), jnp.float32)
 
             @jax.jit
-            def loop(ix, tab=tab):
+            def loop(ix, tab):
                 def body(i, ix):
                     rows = tab[ix]
                     # chain iterations through the fetched data so XLA
@@ -69,7 +72,7 @@ def main():
             ix0 = jnp.asarray(
                 np.random.RandomState(2).randint(0, TABLE_ROWS, n),
                 jnp.int32)
-            dt = timeit(loop, ix0)
+            dt = timeit(loop, ix0, tab)
             cells.append(dt / L / n * 1e9)
         print(f"{n:>9} | " + " | ".join(f"{c:6.2f}" for c in cells),
               flush=True)
@@ -83,13 +86,13 @@ def main():
                           jnp.float32)
 
         @jax.jit
-        def sloop(start, tab=tab):
+        def sloop(start, tab):
             def body(i, start):
                 rows = jax.lax.dynamic_slice(tab, (start, 0), (4096, w))
                 return (start + rows[0, 0].astype(jnp.int32) + 1) % 1024
             return jax.lax.fori_loop(0, L, body, start)
 
-        dt = timeit(sloop, jnp.int32(0))
+        dt = timeit(sloop, jnp.int32(0), tab)
         print(f"# contiguous 4096-row slice, w={w}: "
               f"{dt / L / 4096 * 1e9:.2f} ns/row", flush=True)
 
